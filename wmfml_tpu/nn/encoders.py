@@ -1,0 +1,136 @@
+"""Image encoder trunks (flax.linen, NHWC — TPU native layout).
+
+Two trunks from the reference, re-designed channel-last so XLA lays convs on
+the MXU without layout transposes:
+
+  * ``LiteratureEncoder`` — the "literature" conv stack used by the
+    ShapeNet1D / Pascal1D / MAML families
+    (`networks/CNPShapeNet1D.py:46-56`):
+    conv3x3 s2 (C->32) / conv3x3 s2 (32->48) / maxpool2 / conv3x3 s2 (48->64)
+    / flatten / linear(->dim_w), ReLU between convs.
+
+  * ``ResNetTrunk`` — conv5x5 s2 (C->64) + four no-batchnorm BasicBlock
+    stages, each 64ch stride 2 (`networks/ResNet.py:121-153`,
+    `networks/models.py:63-117`), followed by a pixel aggregation chosen by
+    ``img_agg``: mean -> global average pool (64 features), max/baco ->
+    adaptive 2x2 max pool (256 features), reshape -> flatten.
+
+Both operate on flat [B, H, W, C] batches; callers reshape [T, N, ...].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wmfml_tpu.nn.init import kaiming_out_normal, torch_bias_init, torch_kernel_init
+from wmfml_tpu.nn.mlp import Dense
+
+
+def adaptive_max_pool(x: jnp.ndarray, out_hw: int = 2) -> jnp.ndarray:
+    """AdaptiveMaxPool2d((2,2)) for even input sizes (all sizes used here)."""
+    b, h, w, c = x.shape
+    assert h % out_hw == 0 and w % out_hw == 0, (h, w)
+    x = x.reshape(b, out_hw, h // out_hw, out_hw, w // out_hw, c)
+    return jnp.max(x, axis=(2, 4))
+
+
+class LiteratureEncoder(nn.Module):
+    """Conv stack -> dim_w feature per image."""
+
+    dim_w: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        c_in = x.shape[-1]
+        x = nn.Conv(32, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(c_in * 9), dtype=self.dtype,
+                    name="conv0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(48, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(32 * 9), dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(48 * 9), dtype=self.dtype,
+                    name="conv2")(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)  # 128x128 input -> 64*8*8 = 4096
+        x = Dense(self.dim_w, dtype=self.dtype, name="fc")(x)
+        return x
+
+
+class BasicBlockNoBN(nn.Module):
+    """ResNet BasicBlock with batchnorm elided (as the reference comments it out)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride,
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      kernel_init=kaiming_out_normal, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=1,
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      kernel_init=kaiming_out_normal, dtype=self.dtype,
+                      name="conv2")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                               use_bias=False, kernel_init=kaiming_out_normal,
+                               dtype=self.dtype, name="downsample")(x)
+        return nn.relu(out + identity)
+
+
+class ResNetTrunk(nn.Module):
+    """conv5x5 s2 + 4 stride-2 BasicBlock stages + img_agg pooling.
+
+    img_agg: 'mean' -> 64 features; 'max'/'baco' -> 256; 'reshape' -> C*H*W.
+    """
+
+    img_agg: str = "max"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        c_in = x.shape[-1]
+        x = nn.Conv(64, (5, 5), strides=2, padding=[(2, 2), (2, 2)],
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(c_in * 25), dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.relu(x)
+        for i in range(4):
+            x = BasicBlockNoBN(planes=64, stride=2, dtype=self.dtype,
+                               name=f"layer{i + 1}")(x)
+        if self.img_agg == "mean":
+            x = jnp.mean(x, axis=(1, 2))
+        elif self.img_agg in ("max", "baco"):
+            x = adaptive_max_pool(x, 2)
+        elif self.img_agg == "reshape":
+            pass
+        else:
+            raise ValueError(f"img_agg {self.img_agg!r} not in mean/max/baco/reshape")
+        return x.reshape(x.shape[0], -1)
+
+
+def trunk_feature_dim(img_agg: str, img_hw: int) -> int:
+    """Output feature count of ResNetTrunk for a square input of side img_hw."""
+    final_hw = img_hw // 32  # conv s2 + 4 stages s2
+    if img_agg == "mean":
+        return 64
+    if img_agg in ("max", "baco"):
+        return 64 * 4
+    if img_agg == "reshape":
+        return 64 * final_hw * final_hw
+    raise ValueError(img_agg)

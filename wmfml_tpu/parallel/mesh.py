@@ -1,0 +1,95 @@
+"""Device mesh & sharding layer.
+
+The reference is strictly single-device (`device: "cuda:0"` in every YAML; no
+torch.distributed anywhere). Our TPU-native equivalent: one ``jax.sharding.Mesh``
+with named axes
+
+    ("data", "model")
+
+where the episodic ``tasks_per_batch`` axis is sharded over "data" (pure DP —
+gradient all-reduce rides ICI via XLA collectives inserted by the partitioner)
+and "model" is plumbing for tensor-parallel layouts of larger variants. All
+train/eval steps are jitted with NamedSharding in/out specs; nothing in the
+model code mentions devices.
+
+Multi-host: each host samples its local shard of tasks and
+``jax.make_array_from_process_local_data`` assembles the global batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(mesh_shape: Optional[Dict[str, int]] = None,
+                devices=None) -> Mesh:
+    """Create a mesh. Default: all devices on the "data" axis, model=1."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = {DATA_AXIS: n, MODEL_AXIS: 1}
+    axis_names = tuple(mesh_shape.keys())
+    sizes = tuple(mesh_shape.values())
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh shape {mesh_shape} != #devices {n}")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (task) axis over the data axis; rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-side pytree batch on the mesh, task axis over "data".
+
+    Single-process path uses device_put; multi-process path builds a global
+    array from per-process shards.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
+@dataclass
+class MeshContext:
+    """Owns the mesh plus the shardings train/eval steps are jitted with."""
+
+    mesh: Mesh
+
+    @classmethod
+    def create(cls, mesh_shape: Optional[Dict[str, int]] = None, devices=None):
+        return cls(mesh=create_mesh(mesh_shape, devices))
+
+    @property
+    def data_sharding(self) -> NamedSharding:
+        return batch_sharding(self.mesh)
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return replicated_sharding(self.mesh)
+
+    @property
+    def num_data_shards(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+    def put_batch(self, batch):
+        return shard_batch(self.mesh, batch)
