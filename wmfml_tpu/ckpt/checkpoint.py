@@ -1,0 +1,81 @@
+"""Orbax checkpointing with reference-compatible run-directory semantics.
+
+The reference saves three kinds of checkpoints under ``<run>/models/``
+(trainer/model_trainer.py:52-55, 130-143):
+  * best-per-split        -> model_best_validation / model_best_test
+  * periodic intermediate -> model_intermediate (every 1000 iters)
+  * final                 -> model_end_<iter>
+
+plus ``best_<split>_error.txt`` next to them. We keep the same stems (orbax
+directories instead of .pt files) and additionally persist the full
+(params, opt_state, step, extra_vars, data-RNG seed) tuple so preempted runs
+resume exactly — the reference's resume helper exists but is never wired
+(trainer/model_trainer.py:145-160); here it is first-class.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from wmfml_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str):
+        self.models_dir = os.path.abspath(os.path.join(run_dir, "models"))
+        os.makedirs(self.models_dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.models_dir, name)
+
+    def save(self, name: str, state: TrainState, extra: Optional[dict] = None):
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "extra_vars": state.extra_vars,
+            "opt_state": state.opt_state,
+        }
+        if extra:
+            payload["extra"] = extra
+        path = self._path(name)
+        self._ckpt.save(path, payload, force=True)
+        self._ckpt.wait_until_finished()
+
+    def restore(self, name_or_path: str, state: TrainState) -> TrainState:
+        path = (name_or_path if os.path.isabs(name_or_path)
+                else self._path(name_or_path))
+        target = {
+            "step": state.step,
+            "params": state.params,
+            "extra_vars": state.extra_vars,
+            "opt_state": state.opt_state,
+        }
+        restored = self._ckpt.restore(path, target)
+        return state.replace(step=restored["step"], params=restored["params"],
+                             extra_vars=restored["extra_vars"],
+                             opt_state=restored["opt_state"])
+
+    def save_best_error(self, run_dir: str, split: str, step: int, error: float):
+        """best_<split>_error.txt parity (trainer/model_trainer.py:135-138)."""
+        with open(os.path.join(run_dir, f"best_{split}_error.txt"), "w") as f:
+            f.write(f"iter: {step}, {split} error: {error}\n")
+
+
+def restore_params_only(path: str, like_variables: Any):
+    """Load just model variables from a checkpoint dir (for evaluation CLIs)."""
+    ckpt = ocp.StandardCheckpointer()
+    target = {
+        "step": np.zeros((), np.int32),
+        "params": like_variables["params"],
+        "extra_vars": {k: v for k, v in like_variables.items() if k != "params"},
+        "opt_state": None,
+    }
+    # opt_state unknown at eval time; restore partially
+    restored = ckpt.restore(os.path.abspath(path), target)
+    return {"params": restored["params"], **restored["extra_vars"]}

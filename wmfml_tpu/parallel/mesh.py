@@ -30,12 +30,20 @@ MODEL_AXIS = "model"
 
 
 def create_mesh(mesh_shape: Optional[Dict[str, int]] = None,
-                devices=None) -> Mesh:
-    """Create a mesh. Default: all devices on the "data" axis, model=1."""
+                devices=None, batch_divisor: Optional[int] = None) -> Mesh:
+    """Create a mesh. Default: all devices on the "data" axis, model=1.
+
+    ``batch_divisor`` (typically tasks_per_batch): when given and the device
+    count does not divide it, the data axis shrinks to the largest divisor —
+    small smoke-test batches still run on a big mesh (using fewer devices).
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if mesh_shape is None:
+        if batch_divisor is not None and batch_divisor % n != 0:
+            n = max(d for d in range(1, n + 1) if batch_divisor % d == 0)
+            devices = devices[:n]
         mesh_shape = {DATA_AXIS: n, MODEL_AXIS: 1}
     axis_names = tuple(mesh_shape.keys())
     sizes = tuple(mesh_shape.values())
@@ -76,8 +84,9 @@ class MeshContext:
     mesh: Mesh
 
     @classmethod
-    def create(cls, mesh_shape: Optional[Dict[str, int]] = None, devices=None):
-        return cls(mesh=create_mesh(mesh_shape, devices))
+    def create(cls, mesh_shape: Optional[Dict[str, int]] = None, devices=None,
+               batch_divisor: Optional[int] = None):
+        return cls(mesh=create_mesh(mesh_shape, devices, batch_divisor))
 
     @property
     def data_sharding(self) -> NamedSharding:

@@ -1,0 +1,182 @@
+"""Meta-training driver for the CNP/ANP/FCL/SingleTask families.
+
+Control flow mirrors trainer/model_trainer.py:
+  * iteration-based loop (not epochs);
+  * ShapeNet3D backgrounds regenerated every ``bg_gen_freq`` iters (:39-40);
+  * validation every ``val_freq`` on validation AND test splits, test skipped
+    for pascal_1d (:46-49); eval streams made deterministic by resetting the
+    split RNG to 42 (:102-109);
+  * best-per-split checkpoints + error txt (:130-138), intermediate model
+    every 1000 iters (:52-53,141-143), final model at completion (:55);
+  * abort on non-finite loss (:90-92) — raised as NonFiniteLossError; the CLI
+    converts it to exit(1) for parity.
+
+TPU-first differences:
+  * the NaN guard reads the *previous* step's loss while the current step is
+    in flight — the device never idles on a host sync;
+  * episode sampling runs in a background prefetch thread feeding the mesh.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from typing import Optional
+
+import jax
+import numpy as np
+
+from wmfml_tpu.ckpt.checkpoint import CheckpointManager
+from wmfml_tpu.obs import MetricsWriter, NonFiniteLossError
+from wmfml_tpu.parallel.mesh import MeshContext
+from wmfml_tpu.train.state import TrainState, build_optimizer
+from wmfml_tpu.train.steps import build_eval_step, build_train_step, init_model
+
+
+class Prefetcher:
+    """Background thread sampling episodes and staging them on the mesh."""
+
+    def __init__(self, sample_fn, put_fn, depth: int = 2):
+        self.sample_fn = sample_fn
+        self.put_fn = put_fn
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._exc = None
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                batch = self.put_fn(self.sample_fn())
+                while not self._stop.is_set():
+                    try:
+                        self.q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+        except Exception as e:  # surfaced on next __next__
+            self._exc = e
+
+    def __next__(self):
+        while True:
+            if self._exc is not None:
+                raise self._exc
+            try:
+                return self.q.get(timeout=1.0)
+            except queue.Empty:
+                continue
+
+    def close(self):
+        self._stop.set()
+
+
+class ModelTrainer:
+    def __init__(self, model, config, data, mesh_ctx: Optional[MeshContext] = None,
+                 writer: Optional[MetricsWriter] = None):
+        self.model = model
+        self.config = config
+        self.data = data
+        self.mesh = mesh_ctx or MeshContext.create(
+            config.mesh_shape, batch_divisor=config.tasks_per_batch)
+        self.logger = config.logger
+        self.writer = writer or MetricsWriter(config.save_path)
+        self.ckpt = CheckpointManager(config.save_path)
+        # reference best-loss thresholds (trainer/base_trainer.py:27)
+        self.best_loss = {"validation": 50000.0, "test": 20000.0}
+
+        tx = build_optimizer(config)
+        key = jax.random.PRNGKey(config.seed)
+        self.base_key = key
+        variables = init_model(model, config, key)
+        state = TrainState.create(variables, tx)
+        self.state = jax.device_put(state, self.mesh.replicated)
+
+        self.train_step = build_train_step(model, config, self.mesh, tx)
+        self.eval_step = build_eval_step(model, config, self.mesh)
+
+        if config.checkpoint:
+            self.state = self.ckpt.restore(config.checkpoint, self.state)
+            self.logger.info(f"resumed from {config.checkpoint} "
+                             f"at step {int(self.state.step)}")
+
+    # ------------------------------------------------------------------
+
+    def _sample_train(self):
+        return self.data.get_batch("train", self.config.tasks_per_batch,
+                                   self.config.max_ctx_num)
+
+    def train(self):
+        cfg = self.config
+        skip_test = cfg.task == "pascal_1d"
+        start = int(self.state.step)
+
+        if cfg.task == "shapenet_3d" and cfg.gen_bg:
+            self.data.gen_bg(cfg)
+
+        prefetch = Prefetcher(self._sample_train, self.mesh.put_batch,
+                              depth=cfg.prefetch)
+        pending = None  # (step_idx, device_loss) for the async NaN guard
+        try:
+            for it in range(start, cfg.iterations):
+                if (cfg.task == "shapenet_3d" and cfg.gen_bg
+                        and it > start and it % cfg.bg_gen_freq == 0):
+                    self.data.gen_bg(cfg, data="train")
+
+                batch = next(prefetch)
+                key = jax.random.fold_in(self.base_key, it)
+                self.state, metrics = self.train_step(self.state, batch, key)
+
+                if pending is not None:
+                    self._guard(*pending)
+                pending = (it, metrics["loss"])
+
+                if it % cfg.val_freq == 0:
+                    train_loss = self._guard(*pending)
+                    pending = None
+                    self.writer.add_scalar("Loss/train", train_loss, it)
+                    self.logger.info(f"Iteration: {it}, loss: {train_loss:.4f}")
+                    self.validate(it, "validation")
+                    if not skip_test:
+                        self.validate(it, "test")
+
+                if it % 1000 == 0:
+                    self.ckpt.save("model_intermediate", self.state)
+
+            if pending is not None:
+                self._guard(*pending)
+            self.ckpt.save(f"model_end_{cfg.iterations}", self.state)
+        finally:
+            prefetch.close()
+            self.writer.flush()
+
+    def _guard(self, step_idx: int, device_loss) -> float:
+        loss = float(device_loss)
+        if not math.isfinite(loss):
+            self.logger.error(f"Loss is NaN or Inf at iteration {step_idx}")
+            raise NonFiniteLossError(
+                f"Loss is NaN or Inf at iteration {step_idx}: {loss}")
+        return loss
+
+    # ------------------------------------------------------------------
+
+    def validate(self, it: int, source: str) -> float:
+        """One deterministic eval sweep (trainer/model_trainer.py:95-139)."""
+        cfg = self.config
+        self.data.reset_eval(source, seed=42)
+        losses = []
+        for v in range(cfg.val_iters):
+            batch = self.mesh.put_batch(
+                self.data.get_batch(source, cfg.tasks_per_batch,
+                                    cfg.max_ctx_num))
+            key = jax.random.fold_in(self.base_key, 10_000_000 + v)
+            losses.append(self.eval_step(self.state, batch, key))
+        loss = float(np.mean(jax.device_get(losses)))
+        self.writer.add_scalar(f"Loss/{source}", loss, it)
+        self.logger.info(f"[{source}] iteration {it}: loss {loss:.4f}")
+        if loss < self.best_loss[source]:
+            self.best_loss[source] = loss
+            self.ckpt.save(f"model_best_{source}", self.state)
+            self.ckpt.save_best_error(cfg.save_path, source, it, loss)
+        return loss
