@@ -1,0 +1,154 @@
+"""ShapeNet3D episodic sampler (quaternion pose, 64x64 RGBA).
+
+Loads the reference pickle layout (`dataset/shapenet_3d.py:65-79`): per split
+a dict {'images' [N, 64, 64, 4] float32 in [0,1], 'item_indices' [N],
+'Q' [N, 4] xyzw quats canonicalized to q[1] >= 0}, 30 views per item.
+
+Sampling semantics preserved:
+  * train: random item, random view permutation, shot ~ U[1, max]
+    (shapenet_3d.py:110,189-204);
+  * validation/test: items visited in a per-split fixed permutation with a
+    wrap-around counter, views permuted by the split RNG (:171-188);
+    ``reset_eval`` reseeds to 42 and zeroes the counter
+    (evaluator/model_evaluator.py:151-158);
+  * mode='eval': query = all 30 views (:201-204); train mode: query =
+    ``query_num`` of the remaining views (the reference takes *all* remaining,
+    a shot-dependent — therefore unjittable — count; a fixed-size random
+    subset is the same estimator. Deviation documented.)
+
+Background compositing (gen_bg): alpha==1 marks background pixels
+(shapenet_3d.py:238-239); ``gen_bg`` recomposites whole splits in place like
+the reference but vectorized over the split instead of a per-item Python loop.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from wmfml_tpu.data.basedata import BaseData
+from wmfml_tpu.data.episode import EpisodeBatch, make_episode
+
+
+class ShapeNet3DData(BaseData):
+    raw_label_dim = 4
+    task_name = "shapenet_3d"
+
+    def __init__(self, path: str, img_size, seed: int,
+                 num_instances_per_item: int = 30,
+                 aug: Optional[List[str]] = None, mode: str = "train",
+                 max_ctx: int = 15, query_num: Optional[int] = None):
+        super().__init__(img_size, aug)
+        self.mode = mode
+        self.instances_per_item = num_instances_per_item
+        self.max_ctx = max_ctx
+        self.query_num = (num_instances_per_item if mode == "eval"
+                          else (query_num or 15))
+        self.azimuth_only = "azimuth_only" in self.aug_list
+
+        bg_path = os.path.join(path, "bg_images.npy")
+        if not os.path.exists(bg_path):
+            bg_path = os.path.join(os.path.dirname(path.rstrip("/")),
+                                   "bg_images.npy")
+        self.bg_imgs = np.load(bg_path).astype(np.float32)
+
+        self.splits = {}
+        for split, name in [("train", "train"), ("validation", "val"),
+                            ("test", "test")]:
+            with open(os.path.join(path, f"shapenet3d_azi180ele30_{name}.pkl"),
+                      "rb") as f:
+                d = pickle.load(f)
+            images = np.ascontiguousarray(d["images"], dtype=np.float32)
+            item_indices = np.asarray(d["item_indices"])
+            q = np.asarray(d["Q"], np.float32)
+            n_items = int(item_indices.max()) + 1
+            # dense [items, views, ...] gather tables for O(1) episode assembly
+            order = np.argsort(item_indices, kind="stable")
+            images = images[order].reshape(
+                n_items, num_instances_per_item, *images.shape[1:])
+            q = q[order].reshape(n_items, num_instances_per_item, 4)
+            self.splits[split] = dict(images=images, Q=q, n_items=n_items)
+
+        self.train_rng = np.random.RandomState(seed)
+        self.val_rng = np.random.RandomState(seed)
+        self.test_rng = np.random.RandomState(seed)
+        self.counters = {"validation": 0, "test": 0}
+        self.perms = {
+            "validation": self.val_rng.permutation(self.splits["validation"]["n_items"]),
+            "test": self.test_rng.permutation(self.splits["test"]["n_items"]),
+        }
+
+    # ------------------------------------------------------------------
+
+    def reset_eval(self, source: str, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        if source == "validation":
+            self.val_rng = rng
+        elif source == "test":
+            self.test_rng = rng
+        if source in self.counters:
+            self.counters[source] = 0
+
+    def _rng(self, source):
+        return {"train": self.train_rng, "validation": self.val_rng,
+                "test": self.test_rng}[source]
+
+    def get_batch(self, source: str, tasks_per_batch: int,
+                  shot: int) -> EpisodeBatch:
+        split = self.splits[source]
+        rng = self._rng(source)
+        if source == "train":
+            shot = int(rng.randint(1, shot + 1))
+        query = self.query_num
+        v = self.instances_per_item
+
+        items = np.empty(tasks_per_batch, np.int64)
+        perm = np.empty((tasks_per_batch, v), np.int64)
+        for t in range(tasks_per_batch):
+            if source == "train":
+                items[t] = rng.randint(split["n_items"])
+            else:
+                if self.counters[source] >= split["n_items"]:
+                    self.counters[source] = 0
+                items[t] = self.perms[source][self.counters[source]]
+                self.counters[source] += 1
+            perm[t] = rng.permutation(v)
+
+        imgs = split["images"][items[:, None], perm]   # [T, V, H, W, 4]
+        quats = split["Q"][items[:, None], perm]       # [T, V, 4]
+        ctx_x, ctx_y = imgs[:, :shot], quats[:, :shot]
+        if self.mode == "eval":
+            qry_x, qry_y = imgs, quats
+        else:
+            qry_x = imgs[:, shot:shot + query]
+            qry_y = quats[:, shot:shot + query]
+        return make_episode(ctx_x, ctx_y, qry_x, qry_y,
+                            max_ctx=self.max_ctx, shot=shot)
+
+    # ------------------------------------------------------------------
+
+    def _composite_split(self, split_name: str, rng: np.random.RandomState):
+        s = self.splits[split_name]
+        imgs = s["images"]
+        flat = imgs.reshape(-1, *imgs.shape[2:])
+        bg_idx = rng.randint(0, self.bg_imgs.shape[0], size=flat.shape[0])
+        bg = self.bg_imgs[bg_idx]
+        mask = (flat[..., 3] < 1.0)[..., None]
+        flat[..., :3] = flat[..., :3] * mask + bg * (1 - mask)
+
+    def gen_bg(self, config, data: str = "all"):
+        rng = self.train_rng
+        if data == "all":
+            config.logger.info("=========== Generate BG for all data ============")
+            for split in ("train", "validation", "test"):
+                self._composite_split(split, rng)
+        elif data == "train":
+            config.logger.info("====== Regenerate BG for Training Data ======")
+            self._composite_split("train", rng)
+        else:
+            raise TypeError(
+                "Wrong data type for generating random background, "
+                "check gen_bg(data=**)!")

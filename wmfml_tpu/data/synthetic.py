@@ -187,8 +187,13 @@ def generate_shapenet3d(root: str, seed: int = 1, items_train: int = 30,
 # Distractor
 # --------------------------------------------------------------------------
 
-DISTRACTOR_TRAIN_CATEGS = [f"cat{i:02d}" for i in range(10)]
-DISTRACTOR_TEST_CATEGS = ["04401088", "04530566"]  # reference test categories
+# real ShapeNet category ids so the reference-format loader works unchanged
+# (dataset/shapenet_distractor.py:124-127)
+DISTRACTOR_TRAIN_CATEGS = [
+    "02691156", "02828884", "02933112", "02958343", "02992529",
+    "03001627", "03211117", "03636649", "03691459", "04379243",
+]
+DISTRACTOR_TEST_CATEGS = ["04256520", "04530566"]
 
 
 def generate_distractor(root: str, seed: int = 3, objects_per_categ: int = 6,
@@ -220,7 +225,9 @@ def generate_distractor(root: str, seed: int = 3, objects_per_categ: int = 6,
                     canvas[y0:y0 + 48, x0:x0 + 48] = np.maximum(
                         canvas[y0:y0 + 48, x0:x0 + 48], patch)
                 img = canvas[..., None]  # [128,128,1] float [0,1]
-                instances.append((img.astype(np.float32), v,
+                # 4-tuple layout the reference unpacks: [0]=image,
+                # [2]=angle index, [3]=center (shapenet_distractor.py:301-318)
+                instances.append((img.astype(np.float32), 0, v,
                                   center.astype(np.float32)))
             objects.append(instances)
         return np.asarray(objects, dtype=object)
