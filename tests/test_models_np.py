@@ -42,9 +42,10 @@ def init_and_apply(model, b, train=False):
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
             "bbb": jax.random.PRNGKey(2)}
     variables = model.init(rngs, b["ctx_x"], b["ctx_y"], b["qry_x"],
-                           ctx_mask=b["ctx_mask"], train=train)
+                           ctx_mask=b["ctx_mask"], train=train,
+                           qry_y=b["qry_y"])
     out = model.apply(variables, b["ctx_x"], b["ctx_y"], b["qry_x"],
-                      ctx_mask=b["ctx_mask"], train=train,
+                      ctx_mask=b["ctx_mask"], train=train, qry_y=b["qry_y"],
                       rngs={"dropout": jax.random.PRNGKey(3),
                             "bbb": jax.random.PRNGKey(4)})
     return variables, out

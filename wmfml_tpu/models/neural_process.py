@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from wmfml_tpu.models.base import ModelOutput
 from wmfml_tpu.nn.attention import MultiheadFavorCrossAttention
+from wmfml_tpu.nn.bbb import BBBLiteratureEncoder, BBBResNetTrunk
 from wmfml_tpu.nn.encoders import LiteratureEncoder, ResNetTrunk
 from wmfml_tpu.nn.mlp import MLP, Dense, EncoderFC
 from wmfml_tpu.ops.setops import baco, masked_max, masked_mean
@@ -59,7 +60,16 @@ def _gate_zero_ctx(z, ctx_mask):
 
 
 class SmallCNP(nn.Module):
-    """Literature-encoder CNP/ANP (ShapeNet1D & Pascal1D variants)."""
+    """Literature-encoder CNP/ANP (ShapeNet1D & Pascal1D variants).
+
+    Options fold in the reference's derived families:
+      * ``bbb_encoder`` — MR variants (CNPMR/ANPMR/+ShapeNet1D subclasses,
+        networks/CNPMR.py:127-168): the conv trunk is Bayes-by-Backprop and
+        the returned kl is the one from the *query* pass (:164-171);
+      * ``fcl`` — FCL-CNP (networks/FCLCNPShapeNet1D.py:97-155): at train
+        time a query-side latent z_q (max-agg over query reps built WITH the
+        query labels) is exposed with the ctx latent z_0 for NT-Xent.
+    """
 
     dim_w: int = 64
     n_hidden_units_r: Sequence[int] = (100, 100)
@@ -68,33 +78,54 @@ class SmallCNP(nn.Module):
     y_dim: int = 2
     agg_mode: str = "max"          # mean | max | baco | attention
     tanh_out: bool = True          # ShapeNet1D: Tanh head; Pascal1D: linear
+    bbb_encoder: bool = False
+    fcl: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False):
-        enc = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
-                                name="encoder_w0")
-        x_qry = _flat_apply(enc, qry_x)                      # [T, Q, dim_w]
-        x_ctx = _flat_apply(enc, ctx_x)                      # [T, S, dim_w]
-        y_emb = Dense(self.dim_w // 4, dtype=self.dtype,
-                      name="transform_y")(ctx_y)
-        rs = EncoderFC(self.n_hidden_units_r, self.dim_r, dtype=self.dtype,
-                       name="encoder_r")(jnp.concatenate([x_ctx, y_emb], -1))
+    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
+                 qry_y=None):
+        kl = 0.0
+        if self.bbb_encoder:
+            enc_mod = BBBLiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
+                                           name="encoder_w0")
+
+            def enc(x):
+                t, n = x.shape[:2]
+                out, kl_ = enc_mod(x.reshape((t * n,) + x.shape[2:]))
+                return out.reshape((t, n, -1)), kl_
+            x_qry, kl = enc(qry_x)      # kl from the query pass (reference)
+            x_ctx, _ = enc(ctx_x)
+        else:
+            enc_mod = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
+                                        name="encoder_w0")
+            x_qry = _flat_apply(enc_mod, qry_x)              # [T, Q, dim_w]
+            x_ctx = _flat_apply(enc_mod, ctx_x)              # [T, S, dim_w]
+
+        transform_y = Dense(self.dim_w // 4, dtype=self.dtype,
+                            name="transform_y")
+        encoder_r = EncoderFC(self.n_hidden_units_r, self.dim_r,
+                              dtype=self.dtype, name="encoder_r")
+        rs = encoder_r(jnp.concatenate([x_ctx, transform_y(ctx_y)], -1))
 
         r_to_z = Dense(self.dim_z, dtype=self.dtype, name="r_to_z")
         q_num = qry_x.shape[1]
+        z_0 = None
         if self.agg_mode == "mean":
             r = masked_mean(rs, ctx_mask)
-            z = jnp.repeat(r_to_z(r)[:, None, :], q_num, axis=1)
+            z_0 = r_to_z(r)
+            z = jnp.repeat(z_0[:, None, :], q_num, axis=1)
         elif self.agg_mode == "max":
             r = masked_max(rs, ctx_mask)
-            z = jnp.repeat(r_to_z(r)[:, None, :], q_num, axis=1)
+            z_0 = r_to_z(r)
+            z = jnp.repeat(z_0[:, None, :], q_num, axis=1)
         elif self.agg_mode == "baco":
             mu = Dense(self.dim_r, dtype=self.dtype, name="rs_to_mu")(rs)
             log_var = Dense(self.dim_r, dtype=self.dtype, name="rs_to_var")(rs)
             var = 1e-5 + nn.softplus(log_var)
             r, _ = baco(mu, var, ctx_mask)
-            z = jnp.repeat(r_to_z(r)[:, None, :], q_num, axis=1)
+            z_0 = r_to_z(r)
+            z = jnp.repeat(z_0[:, None, :], q_num, axis=1)
         elif self.agg_mode == "attention":
             rep = MultiheadFavorCrossAttention(
                 h_dim=self.dim_w, n_heads=8, dtype=self.dtype,
@@ -106,12 +137,18 @@ class SmallCNP(nn.Module):
                 "['mean', 'max', 'baco', 'attention']")
         z = _gate_zero_ctx(z, ctx_mask)
 
+        extras = {"qry_feat": x_qry, "z": z}
+        if self.fcl and train and qry_y is not None and z_0 is not None:
+            rq = encoder_r(jnp.concatenate([x_qry, transform_y(qry_y)], -1))
+            z_q = r_to_z(jnp.max(rq, axis=1))  # max-agg (FCLCNPShapeNet1D:144-147)
+            extras["z_ctx_view"] = z_0
+            extras["z_qry_view"] = z_q
+
         dec_in = jnp.concatenate([x_qry, z], axis=-1)
         mu = MLP(hidden=(100, 100), out=self.y_dim,
                  final_activation="tanh" if self.tanh_out else None,
                  dtype=self.dtype, name="decoder0")(dec_in)
-        return ModelOutput(mu=mu, var=None, kl=0.0,
-                           extras={"qry_feat": x_qry, "z": z})
+        return ModelOutput(mu=mu, var=None, kl=kl, extras=extras)
 
 
 class NPDecoder(nn.Module):
@@ -139,57 +176,107 @@ class NPDecoder(nn.Module):
 
 
 class LargeCNP(nn.Module):
-    """ResNet-trunk CNP/ANP (ShapeNet3D & Distractor variants)."""
+    """ResNet-trunk CNP/ANP (ShapeNet3D & Distractor variants).
+
+    Options fold in derived families:
+      * ``bbb_trunk``  — ANPMRShapeNet3D (BBB trunk for the context/query
+        image encoder; kl from the query pass, networks/ANPMRShapeNet3D.py:199-200);
+      * ``fcl``        — FCLANP (contrastive over per-query attention reps,
+        networks/FCLANP.py:129-133) and FCLCNPDistractor (two-view z_0/z_q,
+        networks/FCLCNPDistractor.py:97-140).
+    """
 
     img_agg: str = "reshape"
     agg_mode: str = "max"          # mean | max | baco | attention
     y_dim: int = 4
     h_dim: int = 256
     label_embed_dim: Optional[int] = None  # distractor: dim_w; else raw concat
+    bbb_trunk: bool = False
+    fcl: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False):
+    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
+                 qry_y=None):
         h = self.h_dim
-        trunk = ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
-                            name="img_encoder")
-        x_ctx = _flat_apply(trunk, ctx_x)                     # [T, S, F]
+        kl = 0.0
+        if self.bbb_trunk:
+            trunk_mod = BBBResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
+                                       name="img_encoder")
+
+            def trunk(x):
+                t, n = x.shape[:2]
+                out, kl_ = trunk_mod(x.reshape((t * n,) + x.shape[2:]))
+                return out.reshape((t, n, -1)), kl_
+            x_ctx, _ = trunk(ctx_x)
+        else:
+            trunk_mod = ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
+                                    name="img_encoder")
+            x_ctx = _flat_apply(trunk_mod, ctx_x)             # [T, S, F]
+
         if self.label_embed_dim is not None:
-            ctx_y = Dense(self.label_embed_dim, dtype=self.dtype,
-                          name="transform_y")(ctx_y)
-        task_in = jnp.concatenate([x_ctx, ctx_y], axis=-1)
-        feats = MLP(hidden=(h, h), out=h, final_activation="relu",
-                    dtype=self.dtype, name="task_encoder")(task_in)
+            transform_y = Dense(self.label_embed_dim, dtype=self.dtype,
+                                name="transform_y")
+            ctx_y_in = transform_y(ctx_y)
+        else:
+            transform_y = None
+            ctx_y_in = ctx_y
+        task_encoder = MLP(hidden=(h, h), out=h, final_activation="relu",
+                           dtype=self.dtype, name="task_encoder")
+        feats = task_encoder(jnp.concatenate([x_ctx, ctx_y_in], axis=-1))
 
         mu_head = Dense(h, dtype=self.dtype, name="mu")
+        latent_mu = (Dense(h, dtype=self.dtype, name="latent_mu")
+                     if self.agg_mode == "baco" else None)
+        latent_var = (Dense(h, dtype=self.dtype, name="latent_var")
+                      if self.agg_mode == "baco" else None)
         q_num = qry_x.shape[1]
-        need_qry_feats = self.agg_mode == "attention"
-        x_qry = _flat_apply(trunk, qry_x) if need_qry_feats else None
+        need_qry_feats = self.agg_mode == "attention" or (self.fcl and train)
+        if need_qry_feats:
+            if self.bbb_trunk:
+                x_qry, kl = trunk(qry_x)   # kl from the query pass
+            else:
+                x_qry = _flat_apply(trunk_mod, qry_x)
+        else:
+            x_qry = None
 
-        if self.agg_mode == "mean":
-            agg = masked_mean(feats, ctx_mask)
-            sample = jnp.repeat(mu_head(agg)[:, None, :], q_num, axis=1)
-        elif self.agg_mode == "max":
-            agg = masked_max(feats, ctx_mask)
-            sample = jnp.repeat(mu_head(agg)[:, None, :], q_num, axis=1)
-        elif self.agg_mode == "baco":
-            mu_i = Dense(h, dtype=self.dtype, name="latent_mu")(feats)
-            log_var = Dense(h, dtype=self.dtype, name="latent_var")(feats)
-            var = 1e-5 + nn.softplus(log_var)
-            agg, _ = baco(mu_i, var, ctx_mask)
-            sample = jnp.repeat(mu_head(agg)[:, None, :], q_num, axis=1)
-        elif self.agg_mode == "attention":
+        def aggregate(reps, mask):
+            """mean/max/baco latent over a set (shared ctx/FCL-query path)."""
+            if self.agg_mode == "mean":
+                return mu_head(masked_mean(reps, mask))
+            if self.agg_mode == "max":
+                return mu_head(masked_max(reps, mask))
+            if self.agg_mode == "baco":
+                mu_i = latent_mu(reps)
+                log_var = latent_var(reps)
+                var = 1e-5 + nn.softplus(log_var)
+                agg, _ = baco(mu_i, var, mask)
+                return mu_head(agg)
+            raise TypeError(
+                "agg_mode is not applicable, choose from "
+                "['mean', 'max', 'baco', 'attention']")
+
+        z_0 = None
+        if self.agg_mode == "attention":
             rep = MultiheadFavorCrossAttention(
                 h_dim=h, n_heads=8, dtype=self.dtype,
                 name="cross_attn")(x_ctx, feats, x_qry, mask=ctx_mask)
             sample = mu_head(rep)                              # [T, Q, h]
         else:
-            raise TypeError(
-                "agg_mode is not applicable, choose from "
-                "['mean', 'max', 'baco', 'attention']")
+            z_0 = aggregate(feats, ctx_mask)
+            sample = jnp.repeat(z_0[:, None, :], q_num, axis=1)
         sample = _gate_zero_ctx(sample, ctx_mask)
+
+        extras = {"sample_features": sample}
+        if self.fcl and train:
+            if self.agg_mode == "attention":
+                extras["qry_rep"] = sample       # FCLANP:129-133
+            elif qry_y is not None and z_0 is not None:
+                qry_y_in = transform_y(qry_y) if transform_y else qry_y
+                rq = task_encoder(jnp.concatenate([x_qry, qry_y_in], axis=-1))
+                extras["z_ctx_view"] = z_0
+                extras["z_qry_view"] = aggregate(rq, None)
 
         mu, var = NPDecoder(img_agg=self.img_agg, y_dim=self.y_dim,
                             dtype=self.dtype, name="decoder")(qry_x, sample)
-        return ModelOutput(mu=mu, var=var, kl=0.0,
-                           extras={"sample_features": sample})
+        return ModelOutput(mu=mu, var=var, kl=kl, extras=extras)

@@ -103,6 +103,120 @@ def _(config):
     return _large(config, "attention", label_embed=config.dim_w)
 
 
+# -- MR (Bayes-by-Backprop meta-regularization) variants ----------------------
+
+def _small_mr(config, agg_mode, tanh_out):
+    return SmallCNP(
+        dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
+        dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
+        agg_mode=agg_mode, tanh_out=tanh_out, bbb_encoder=True,
+        dtype=_dtype(config))
+
+
+@register("CNPMR")
+def _(config):
+    # base CNPMR has no Tanh head; the ShapeNet1D subclass adds it
+    return _small_mr(config, config.agg_mode, tanh_out=False)
+
+
+@register("CNPMRShapeNet1D")
+def _(config):
+    return _small_mr(config, config.agg_mode, tanh_out=True)
+
+
+@register("ANPMR")
+def _(config):
+    return _small_mr(config, "attention", tanh_out=False)
+
+
+@register("ANPMRShapeNet1D")
+def _(config):
+    return _small_mr(config, "attention", tanh_out=True)
+
+
+@register("ANPMRShapeNet3D")
+def _(config):
+    return LargeCNP(
+        img_agg=config.img_agg, agg_mode="attention", y_dim=config.output_dim,
+        bbb_trunk=True, dtype=_dtype(config))
+
+
+# -- FCL (functional contrastive learning) variants ---------------------------
+
+@register("FCLCNPShapeNet1D")
+def _(config):
+    return SmallCNP(
+        dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
+        dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
+        agg_mode=config.agg_mode, tanh_out=True, fcl=True,
+        dtype=_dtype(config))
+
+
+@register("FCLCNPDistractor")
+def _(config):
+    return LargeCNP(
+        img_agg=config.img_agg, agg_mode=config.agg_mode,
+        y_dim=config.output_dim, label_embed_dim=config.dim_w, fcl=True,
+        dtype=_dtype(config))
+
+
+@register("FCLANP")
+def _(config):
+    return LargeCNP(
+        img_agg=config.img_agg, agg_mode="attention", y_dim=config.output_dim,
+        fcl=True, dtype=_dtype(config))
+
+
+# -- MAML family ---------------------------------------------------------------
+
+def _maml(config, tanh_out, bbb):
+    from wmfml_tpu.models.maml import MAMLRegressor
+
+    return MAMLRegressor(
+        dim_w=config.dim_w, dim_hidden=config.dim_hidden or 64,
+        output_dim=config.output_dim, tanh_out=tanh_out, bbb_encoder=bbb,
+        dtype=_dtype(config))
+
+
+@register("MAMLShapeNet1D")
+def _(config):
+    return _maml(config, tanh_out=True, bbb=False)
+
+
+@register("VanillaMAML")
+def _(config):
+    return _maml(config, tanh_out=False, bbb=False)
+
+
+@register("MAMLMR")
+def _(config):
+    return _maml(config, tanh_out=False, bbb=True)
+
+
+@register("MAMLMRShapeNet1D")
+def _(config):
+    return _maml(config, tanh_out=True, bbb=True)
+
+
+# -- MMAML ----------------------------------------------------------------------
+
+@register("MMAMLShapeNet1D")
+def _(config):
+    from wmfml_tpu.models.mmaml_nets import ConvEmbeddingNet, GatedConvNet
+    from wmfml_tpu.train.mmaml import MMAMLBundle
+
+    # networks/MMAMLShapeNet1D.py:52-84: num_channels=32, affine FiLM
+    # conditioning, embedding dims 2x the modulated channels
+    return MMAMLBundle(
+        gated=GatedConvNet(output_dim=config.output_dim, num_channels=32,
+                           condition_type="affine", tanh_out=True,
+                           dtype=_dtype(config)),
+        embed=ConvEmbeddingNet(embedding_dims=(64, 128, 256, 512),
+                               num_channels=32, hidden_size=128,
+                               embedding_pooling="avg",
+                               dtype=_dtype(config)))
+
+
 # -- SingleTask baselines -----------------------------------------------------
 
 @register("SingleTaskShapeNet1D")

@@ -33,7 +33,8 @@ class SingleTaskSmall(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False):
+    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
+                 qry_y=None):
         del ctx_x, ctx_y, ctx_mask  # context is ignored by design
         x = _flat_apply(LiteratureEncoder(self.dim_w, dtype=self.dtype,
                                           name="encoder_w0"), qry_x)
@@ -56,7 +57,8 @@ class SingleTaskLarge(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False):
+    def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
+                 qry_y=None):
         del ctx_x, ctx_y, ctx_mask
         x = _flat_apply(ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
                                     name="img_encoder"), qry_x)

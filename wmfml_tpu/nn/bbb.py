@@ -1,0 +1,178 @@
+"""Bayes-by-Backprop layers (meta-regularization "MR").
+
+Semantics of networks/bbb/BBBLinear.py:79-95 / BBBConv.py:86-108:
+  * weight = mu + eps * softplus(rho), eps ~ N(0, 1) drawn per call from the
+    'bbb' RNG stream — including at eval time (the reference's sample=True
+    default makes evaluation stochastic; preserved, SURVEY §8 "BBB
+    eval-mode stochasticity");
+  * init: mu ~ N(0, 0.1), rho ~ N(-3, 0.1);
+  * KL(q || N(0, 0.1)) in closed form, summed over parameters.
+
+Layers return (output, kl); containers thread and sum the KLs explicitly
+(replacing the reference's module-tree introspection, bbb/misc.py:36-45).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+PRIOR_MU = 0.0
+PRIOR_SIGMA = 0.1
+
+
+def _mu_init(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * 0.1
+
+
+def _rho_init(key, shape, dtype=jnp.float32):
+    return -3.0 + jax.random.normal(key, shape, dtype) * 0.1
+
+
+def gaussian_kl(mu_q, sig_q, mu_p=PRIOR_MU, sig_p=PRIOR_SIGMA):
+    """KL(q || p) summed (networks/bbb/BBBLinear.py:32-34)."""
+    return 0.5 * jnp.sum(
+        2.0 * jnp.log(sig_p / sig_q) - 1.0 + (sig_q / sig_p) ** 2
+        + ((mu_p - mu_q) / sig_p) ** 2)
+
+
+class BBBDense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        in_features = x.shape[-1]
+        w_mu = self.param("W_mu", _mu_init, (in_features, self.features))
+        w_rho = self.param("W_rho", _rho_init, (in_features, self.features))
+        w_sigma = nn.softplus(w_rho)
+        eps = jax.random.normal(self.make_rng("bbb"), w_mu.shape)
+        w = w_mu + eps * w_sigma
+        kl = gaussian_kl(w_mu, w_sigma)
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
+            x = x.astype(self.dtype)
+        y = x @ w
+        if self.use_bias:
+            b_mu = self.param("bias_mu", _mu_init, (self.features,))
+            b_rho = self.param("bias_rho", _rho_init, (self.features,))
+            b_sigma = nn.softplus(b_rho)
+            b_eps = jax.random.normal(self.make_rng("bbb"), b_mu.shape)
+            b = b_mu + b_eps * b_sigma
+            kl = kl + gaussian_kl(b_mu, b_sigma)
+            y = y + b.astype(y.dtype)
+        return y, kl
+
+
+class BBBConv(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: int = 1
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        shape = (kh, kw, c_in, self.features)
+        w_mu = self.param("W_mu", _mu_init, shape)
+        w_rho = self.param("W_rho", _rho_init, shape)
+        w_sigma = nn.softplus(w_rho)
+        eps = jax.random.normal(self.make_rng("bbb"), shape)
+        w = w_mu + eps * w_sigma
+        kl = gaussian_kl(w_mu, w_sigma)
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
+            x = x.astype(self.dtype)
+        pad = (self.padding if isinstance(self.padding, str)
+               else [tuple(p) for p in self.padding])
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(self.strides, self.strides), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b_mu = self.param("bias_mu", _mu_init, (self.features,))
+            b_rho = self.param("bias_rho", _rho_init, (self.features,))
+            b_sigma = nn.softplus(b_rho)
+            b_eps = jax.random.normal(self.make_rng("bbb"), b_mu.shape)
+            b = b_mu + b_eps * b_sigma
+            kl = kl + gaussian_kl(b_mu, b_sigma)
+            y = y + b.astype(y.dtype)
+        return y, kl
+
+
+class BBBLiteratureEncoder(nn.Module):
+    """BBB variant of the literature conv stack (networks/CNPMR.py:39-52):
+    BBB convs (3x3 s2) x2 / maxpool / BBB conv / flatten / BBBLinear -> dim_w.
+    Returns (features, summed kl)."""
+
+    dim_w: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kl_total = 0.0
+        x, kl = BBBConv(32, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name="conv0")(x)
+        kl_total += kl
+        x = nn.relu(x)
+        x, kl = BBBConv(48, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name="conv1")(x)
+        kl_total += kl
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x, kl = BBBConv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name="conv2")(x)
+        kl_total += kl
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x, kl = BBBDense(self.dim_w, dtype=self.dtype, name="fc")(x)
+        kl_total += kl
+        return x, kl_total
+
+
+class BBBResNetTrunk(nn.Module):
+    """BBB ResNet-style trunk for ANPMRShapeNet3D
+    (networks/ANPMRShapeNet3D.py:30-90): 5x5 s2 conv + 4 stride-2 BBB basic
+    blocks (no batchnorm) + img_agg pooling. Returns (features, kl)."""
+
+    img_agg: str = "reshape"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from wmfml_tpu.nn.encoders import adaptive_max_pool
+
+        kl_total = 0.0
+        x, kl = BBBConv(64, (5, 5), strides=2, padding=[(2, 2), (2, 2)],
+                        dtype=self.dtype, name="conv1")(x)
+        kl_total += kl
+        x = nn.relu(x)
+        for i in range(4):
+            identity_in = x
+            y, kl = BBBConv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                            use_bias=False, dtype=self.dtype,
+                            name=f"layer{i + 1}_conv1")(x)
+            kl_total += kl
+            y = nn.relu(y)
+            y, kl = BBBConv(64, (3, 3), strides=1, padding=[(1, 1), (1, 1)],
+                            use_bias=False, dtype=self.dtype,
+                            name=f"layer{i + 1}_conv2")(y)
+            kl_total += kl
+            identity, kl = BBBConv(64, (1, 1), strides=2, padding=[(0, 0), (0, 0)],
+                                   use_bias=False, dtype=self.dtype,
+                                   name=f"layer{i + 1}_down")(identity_in)
+            kl_total += kl
+            x = nn.relu(y + identity)
+        if self.img_agg == "mean":
+            x = jnp.mean(x, axis=(1, 2))
+        elif self.img_agg in ("max", "baco"):
+            x = adaptive_max_pool(x, 2)
+        x = x.reshape(x.shape[0], -1)
+        return x, kl_total

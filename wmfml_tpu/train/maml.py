@@ -1,0 +1,144 @@
+"""MAML meta-training: vmap(tasks) x lax.scan(inner SGD steps), jitted whole.
+
+Replaces the reference's serial per-task Python loop + torchmeta
+(`trainer/maml_trainer.py:114-170`):
+
+  * inner loop — manual SGD on the *adaptable* parameter subset
+    (conv/linear weights; batchnorm stats params and BBB encoders stay at
+    meta values, exactly what torchmeta's gradient_update_parameters adapts);
+    ``first_order`` detaches inner gradients (FOMAML);
+  * the inner step is wrapped in jax.checkpoint so second-order backprop
+    rematerializes activations instead of storing K copies;
+  * outer loss = mean over tasks of query loss + beta * kl
+    (`:139-142`); validation reports the pre-kl query loss with the
+    test-time step count (`:244-245`) and the test metric (test=True).
+
+Masking: the context set is padded; the inner loss and batchnorm statistics
+are mask-aware, so variable train-time shot compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from wmfml_tpu.aug.pipeline import build_episode_processor
+from wmfml_tpu.losses import LossFunc
+from wmfml_tpu.parallel.mesh import MeshContext
+from wmfml_tpu.train.trainer import ModelTrainer
+
+
+def partition_params(params, adaptable_fn):
+    flat = traverse_util.flatten_dict(params)
+    adapt = {k: v for k, v in flat.items() if adaptable_fn(k)}
+    frozen = {k: v for k, v in flat.items() if not adaptable_fn(k)}
+    return adapt, frozen
+
+
+def merge_params(adapt, frozen):
+    return traverse_util.unflatten_dict({**adapt, **frozen})
+
+
+def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
+    """Return outer(params, batch, key) -> (outer_loss, pre_loss)."""
+    loss_func = LossFunc(config.loss_type, config.task)
+    process = build_episode_processor(
+        config.task, config.aug_list if train else [], train=train,
+        compute_dtype=jnp.float32,
+        azimuth_only="azimuth_only" in config.aug_list)
+    adaptable_fn = model.adaptable_param_filter()
+    update_lr = float(config.update_lr)
+    first_order = bool(config.first_order)
+    beta = float(config.beta or 0.0)
+
+    def outer(params, batch, key):
+        k_aug, k_model = jax.random.split(key)
+        pbatch = process(k_aug, batch)
+        adapt0, frozen = partition_params(params, adaptable_fn)
+        t = pbatch["ctx_x"].shape[0]
+        task_keys = jax.random.split(k_model, t)
+
+        def per_task(ctx_x, ctx_y, qry_x, qry_y, mask, tkey):
+            def inner_loss_fn(adapt_p, k):
+                p = merge_params(adapt_p, frozen)
+                out, _ = model.apply({"params": p}, ctx_x, mask=mask,
+                                     rngs={"bbb": k})
+                return loss_func.calc_loss(out, None, ctx_y, test=False,
+                                           mask=mask)
+
+            @jax.checkpoint
+            def inner_step(adapt_p, k):
+                grads = jax.grad(inner_loss_fn)(adapt_p, k)
+                if first_order:
+                    grads = jax.lax.stop_gradient(grads)
+                new_p = jax.tree_util.tree_map(
+                    lambda p, g: p - update_lr * g, adapt_p, grads)
+                return new_p, None
+
+            step_keys = jax.random.split(tkey, num_steps + 1)
+            adapted, _ = jax.lax.scan(inner_step, adapt0, step_keys[:-1])
+            p = merge_params(adapted, frozen)
+            out, kl = model.apply({"params": p}, qry_x, mask=None,
+                                  rngs={"bbb": step_keys[-1]})
+            qry_loss = loss_func.calc_loss(out, None, qry_y, test=test)
+            return qry_loss, kl
+
+        losses, kls = jax.vmap(per_task)(
+            pbatch["ctx_x"], pbatch["ctx_y"], pbatch["qry_x"],
+            pbatch["qry_y"], pbatch["ctx_mask"], task_keys)
+        pre_loss = jnp.mean(losses)
+        outer_loss = jnp.mean(losses + beta * kls)
+        return outer_loss, pre_loss
+
+    return outer
+
+
+class MAMLTrainer(ModelTrainer):
+    """Same driver loop as ModelTrainer; MAML steps underneath
+    (`trainer/maml_trainer.py:172-268` behavior)."""
+
+    def _init_variables(self, key):
+        cfg = self.config
+        h, w, c = cfg.img_size
+        c = c - 1 if cfg.task == "shapenet_3d" else c
+        x = jnp.zeros((cfg.max_ctx_num, h, w, c), jnp.float32)
+        k1, k2 = jax.random.split(key)
+        return self.model.init({"params": k1, "bbb": k2}, x, mask=None)
+
+    def _build_steps(self, tx):
+        model, config, mesh = self.model, self.config, self.mesh
+        train_outer = build_maml_outer(model, config,
+                                       int(config.num_steps or 5),
+                                       train=True, test=False)
+        eval_outer = build_maml_outer(model, config,
+                                      int(config.test_num_steps
+                                          or config.num_steps or 5),
+                                      train=False, test=True)
+
+        def train_step(state, batch, key):
+            (loss, pre), grads = jax.value_and_grad(
+                lambda p: train_outer(p, batch, key), has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      opt_state=new_opt)
+            return new_state, {"loss": loss, "task_loss": pre,
+                               "kl": loss - pre, "contra": 0.0}
+
+        def eval_step(state, batch, key):
+            _, pre_loss = eval_outer(state.params, batch, key)
+            return pre_loss
+
+        repl, data = mesh.replicated, mesh.data_sharding
+        bs = dict(ctx_x=data, ctx_y=data, ctx_mask=data, qry_x=data,
+                  qry_y=data)
+        self.train_step = jax.jit(
+            train_step, in_shardings=(repl, bs, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if config.donate else ())
+        self.eval_step = jax.jit(eval_step, in_shardings=(repl, bs, repl),
+                                 out_shardings=repl)

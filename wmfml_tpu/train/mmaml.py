@@ -1,0 +1,154 @@
+"""MMAML: modulated MAML with a task-embedding network.
+
+Parity with trainer/meta_learner_reg.py + trainer/mmaml_trainer.py:
+  * adapt — per task: embeddings from the ConvEmbeddingNet on the context
+    set (:132-169), then ``num_updates`` manual SGD steps on ALL GatedConvNet
+    params with element-wise gradient clamp +/-20 (:116-130,
+    inner_loop_grad_clip=20, train.py:101);
+  * step — query loss from adapted params (same embeddings), mean over
+    tasks, backprop through both networks; per-network global-norm clip 2.0
+    (train.py:103-104) and two Adam(lr) optimizers (networks/
+    MMAMLShapeNet1D.py:83-84) — realized here as optax.multi_transform over
+    the {model, embedding} subtrees;
+  * second-order by default (first_order=False, train.py:99).
+
+TPU design: vmap over tasks x lax.scan over inner steps, whole step jitted;
+the serial Python loops of the reference collapse into one SPMD program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from wmfml_tpu.aug.pipeline import build_episode_processor
+from wmfml_tpu.losses import LossFunc
+from wmfml_tpu.train.trainer import ModelTrainer
+
+INNER_GRAD_CLIP = 20.0
+OUTER_GRAD_NORM_CLIP = 2.0
+
+
+class MMAMLBundle(NamedTuple):
+    """The pair of networks a MMAML method bundles
+    (networks/MMAMLShapeNet1D.py:52-84)."""
+
+    gated: object      # GatedConvNet
+    embed: object      # ConvEmbeddingNet
+
+
+def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
+                      train: bool, test: bool):
+    loss_func = LossFunc(config.loss_type, config.task)
+    process = build_episode_processor(
+        config.task, config.aug_list if train else [], train=train,
+        compute_dtype=jnp.float32,
+        azimuth_only="azimuth_only" in config.aug_list)
+    fast_lr = float(config.update_lr)
+    first_order = bool(config.first_order)
+
+    def outer(params, batch, key):
+        pbatch = process(key, batch)
+
+        def per_task(ctx_x, ctx_y, qry_x, qry_y, mask):
+            embeddings = bundle.embed.apply(
+                {"params": params["embedding"]}, ctx_x, mask=mask)
+
+            def inner_loss_fn(mp):
+                preds = bundle.gated.apply({"params": mp}, ctx_x,
+                                           embeddings=embeddings, mask=mask)
+                return loss_func.calc_loss(preds, None, ctx_y, test=False,
+                                           mask=mask)
+
+            @jax.checkpoint
+            def inner_step(mp, _):
+                grads = jax.grad(inner_loss_fn)(mp)
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.clip(g, -INNER_GRAD_CLIP, INNER_GRAD_CLIP),
+                    grads)
+                if first_order:
+                    grads = jax.lax.stop_gradient(grads)
+                return jax.tree_util.tree_map(
+                    lambda p, g: p - fast_lr * g, mp, grads), None
+
+            adapted, _ = jax.lax.scan(inner_step, params["model"], None,
+                                      length=num_steps)
+            preds = bundle.gated.apply({"params": adapted}, qry_x,
+                                       embeddings=embeddings, mask=None)
+            return loss_func.calc_loss(preds, None, qry_y, test=test)
+
+        losses = jax.vmap(per_task)(
+            pbatch["ctx_x"], pbatch["ctx_y"], pbatch["qry_x"],
+            pbatch["qry_y"], pbatch["ctx_mask"])
+        return jnp.mean(losses)
+
+    return outer
+
+
+def build_mmaml_optimizer(config):
+    """Two Adams with per-network global-norm clipping, as one transform."""
+    per_net = optax.chain(optax.clip_by_global_norm(OUTER_GRAD_NORM_CLIP),
+                          optax.adam(config.lr))
+    return optax.multi_transform(
+        {"model": per_net, "embedding": per_net},
+        param_labels={"model": "model", "embedding": "embedding"})
+
+
+class MMAMLTrainer(ModelTrainer):
+    def __init__(self, model: MMAMLBundle, config, data, **kw):
+        self.bundle = model
+        super().__init__(model, config, data, **kw)
+        # evaluator/MMAML best-loss thresholds (trainer/mmaml_trainer.py:38)
+        self.best_loss = {"validation": 10000.0, "test": 10000.0}
+
+    def _init_variables(self, key):
+        cfg = self.config
+        h, w, c = cfg.img_size
+        c = c - 1 if cfg.task == "shapenet_3d" else c
+        x = jnp.zeros((cfg.max_ctx_num, h, w, c), jnp.float32)
+        k1, k2 = jax.random.split(key)
+        embed_vars = self.bundle.embed.init({"params": k2}, x, mask=None)
+        embeddings = self.bundle.embed.apply(embed_vars, x, mask=None)
+        gated_vars = self.bundle.gated.init({"params": k1}, x,
+                                            embeddings=embeddings, mask=None)
+        return {"params": {"model": gated_vars["params"],
+                           "embedding": embed_vars["params"]}}
+
+    def _build_steps(self, tx):
+        config, mesh = self.config, self.mesh
+        tx = build_mmaml_optimizer(config)
+        # rebuild opt_state for the multi-transform optimizer
+        self.state = self.state.replace(opt_state=tx.init(self.state.params))
+        train_outer = build_mmaml_outer(self.bundle, config,
+                                        int(config.num_steps or 5),
+                                        train=True, test=False)
+        eval_outer = build_mmaml_outer(self.bundle, config,
+                                       int(config.test_num_steps
+                                           or config.num_steps or 5),
+                                       train=False, test=True)
+
+        def train_step(state, batch, key):
+            loss, grads = jax.value_and_grad(
+                lambda p: train_outer(p, batch, key))(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (state.replace(step=state.step + 1, params=params,
+                                  opt_state=new_opt),
+                    {"loss": loss, "task_loss": loss, "kl": 0.0,
+                     "contra": 0.0})
+
+        def eval_step(state, batch, key):
+            return eval_outer(state.params, batch, key)
+
+        repl, data = mesh.replicated, mesh.data_sharding
+        bs = dict(ctx_x=data, ctx_y=data, ctx_mask=data, qry_x=data,
+                  qry_y=data)
+        self.train_step = jax.jit(
+            train_step, in_shardings=(repl, bs, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if config.donate else ())
+        self.eval_step = jax.jit(eval_step, in_shardings=(repl, bs, repl),
+                                 out_shardings=repl)

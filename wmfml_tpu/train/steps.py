@@ -45,7 +45,8 @@ def make_forward(model, config, train: bool):
         batch = process(k_aug, batch)
         out = model.apply(variables, batch["ctx_x"], batch["ctx_y"],
                           batch["qry_x"], ctx_mask=batch["ctx_mask"],
-                          train=train, rngs=_model_rngs(k_model))
+                          train=train, qry_y=batch["qry_y"],
+                          rngs=_model_rngs(k_model))
         return out, batch
 
     return forward

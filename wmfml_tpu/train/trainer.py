@@ -89,17 +89,25 @@ class ModelTrainer:
         tx = build_optimizer(config)
         key = jax.random.PRNGKey(config.seed)
         self.base_key = key
-        variables = init_model(model, config, key)
+        variables = self._init_variables(key)
         state = TrainState.create(variables, tx)
         self.state = jax.device_put(state, self.mesh.replicated)
-
-        self.train_step = build_train_step(model, config, self.mesh, tx)
-        self.eval_step = build_eval_step(model, config, self.mesh)
+        self._build_steps(tx)
 
         if config.checkpoint:
             self.state = self.ckpt.restore(config.checkpoint, self.state)
             self.logger.info(f"resumed from {config.checkpoint} "
                              f"at step {int(self.state.step)}")
+
+    # -- overridable by MAML/MMAML subclasses ---------------------------
+
+    def _init_variables(self, key):
+        return init_model(self.model, self.config, key)
+
+    def _build_steps(self, tx):
+        self.train_step = build_train_step(self.model, self.config,
+                                           self.mesh, tx)
+        self.eval_step = build_eval_step(self.model, self.config, self.mesh)
 
     # ------------------------------------------------------------------
 
