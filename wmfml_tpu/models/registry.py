@@ -42,13 +42,25 @@ def _dtype(config):
     return jnp.bfloat16 if getattr(config, "compute_dtype", "float32") == "bfloat16" else None
 
 
+def _use_pallas(config):
+    """Fused FAVOR+ kernel only on real TPU backends."""
+    import jax
+
+    try:
+        return bool(getattr(config, "use_pallas", True)) and \
+            jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 # -- small (literature-encoder) family ---------------------------------------
 
 def _small(config, agg_mode, tanh_out):
     return SmallCNP(
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
-        agg_mode=agg_mode, tanh_out=tanh_out, dtype=_dtype(config))
+        agg_mode=agg_mode, tanh_out=tanh_out, use_pallas=_use_pallas(config),
+        dtype=_dtype(config))
 
 
 @register("CNPShapeNet1D")
@@ -80,7 +92,8 @@ def _(config):
 def _large(config, agg_mode, label_embed=None):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode=agg_mode, y_dim=config.output_dim,
-        label_embed_dim=label_embed, dtype=_dtype(config))
+        label_embed_dim=label_embed, use_pallas=_use_pallas(config),
+        dtype=_dtype(config))
 
 
 @register("CondNeuralProcess")
@@ -110,7 +123,7 @@ def _small_mr(config, agg_mode, tanh_out):
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
         agg_mode=agg_mode, tanh_out=tanh_out, bbb_encoder=True,
-        dtype=_dtype(config))
+        use_pallas=_use_pallas(config), dtype=_dtype(config))
 
 
 @register("CNPMR")
@@ -138,7 +151,7 @@ def _(config):
 def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode="attention", y_dim=config.output_dim,
-        bbb_trunk=True, dtype=_dtype(config))
+        bbb_trunk=True, use_pallas=_use_pallas(config), dtype=_dtype(config))
 
 
 # -- FCL (functional contrastive learning) variants ---------------------------
@@ -149,7 +162,7 @@ def _(config):
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
         agg_mode=config.agg_mode, tanh_out=True, fcl=True,
-        dtype=_dtype(config))
+        use_pallas=_use_pallas(config), dtype=_dtype(config))
 
 
 @register("FCLCNPDistractor")
@@ -157,14 +170,14 @@ def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode=config.agg_mode,
         y_dim=config.output_dim, label_embed_dim=config.dim_w, fcl=True,
-        dtype=_dtype(config))
+        use_pallas=_use_pallas(config), dtype=_dtype(config))
 
 
 @register("FCLANP")
 def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode="attention", y_dim=config.output_dim,
-        fcl=True, dtype=_dtype(config))
+        fcl=True, use_pallas=_use_pallas(config), dtype=_dtype(config))
 
 
 # -- MAML family ---------------------------------------------------------------
