@@ -1,0 +1,165 @@
+"""Checkpoint fidelity: torch reference architecture -> imported params ->
+identical forward outputs.
+
+The torch models here are written from the architecture spec (SURVEY §2.7/2.8)
+to generate state_dicts with the reference's exact key names and layouts; the
+converter must make our flax models reproduce their forward bit-for-bit
+(up to float32 accumulation order)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as tF  # noqa: E402
+
+import jax  # noqa: E402
+
+from wmfml_tpu.ckpt.torch_import import (  # noqa: E402
+    import_torch_checkpoint,
+    state_dict_to_numpy,
+)
+from wmfml_tpu.models.neural_process import LargeCNP, SmallCNP  # noqa: E402
+
+
+class TorchSmallCNP(tnn.Module):
+    """Reference CNPShapeNet1D architecture (max aggregation)."""
+
+    def __init__(self, dim_w=64, dim_r=100, dim_z=64, label_dim=3, y_dim=2):
+        super().__init__()
+        self.dim_w = dim_w
+        self.encoder_w0 = tnn.Sequential(
+            tnn.Conv2d(1, 32, 3, 2, 1), tnn.ReLU(),
+            tnn.Conv2d(32, 48, 3, 2, 1), tnn.ReLU(), tnn.MaxPool2d((2, 2)),
+            tnn.Conv2d(48, 64, 3, 2, 1), tnn.ReLU(), tnn.Flatten(),
+            tnn.Linear(4096, dim_w))
+        self.transform_y = tnn.Linear(label_dim, dim_w // 4)
+        self.encoder_r = tnn.Module()
+        self.encoder_r.layers = tnn.Sequential(
+            tnn.Linear(dim_w + dim_w // 4, 100), tnn.ReLU(),
+            tnn.Linear(100, 100), tnn.ReLU(), tnn.Linear(100, dim_r))
+        self.r_to_z = tnn.Linear(dim_r, dim_z)
+        self.decoder0 = tnn.Sequential(
+            tnn.Linear(dim_w + dim_z, 100), tnn.ReLU(),
+            tnn.Linear(100, 100), tnn.ReLU(), tnn.Linear(100, y_dim),
+            tnn.Tanh())
+
+    def forward(self, ctx_x, ctx_y, qry_x):
+        t, s = ctx_x.shape[:2]
+        q = qry_x.shape[1]
+        x_ctx = self.encoder_w0(ctx_x.reshape(t * s, *ctx_x.shape[2:]))
+        x_ctx = x_ctx.reshape(t, s, self.dim_w)
+        rs = self.encoder_r.layers(
+            torch.cat([x_ctx, self.transform_y(ctx_y)], -1))
+        r = torch.max(rs, dim=1)[0]
+        z = self.r_to_z(r)[:, None, :].repeat(1, q, 1)
+        x_qry = self.encoder_w0(qry_x.reshape(t * q, *qry_x.shape[2:]))
+        x_qry = x_qry.reshape(t, q, self.dim_w)
+        return self.decoder0(torch.cat([x_qry, z], -1))
+
+
+def _torch_basic_block(c=64):
+    blk = tnn.Module()
+    blk.conv1 = tnn.Conv2d(c, c, 3, 2, 1, bias=False)
+    blk.conv2 = tnn.Conv2d(c, c, 3, 1, 1, bias=False)
+    blk.downsample = tnn.Sequential(tnn.Conv2d(c, c, 1, 2, bias=False))
+    return blk
+
+
+def _run_block(blk, x):
+    out = tF.relu(blk.conv1(x))
+    out = blk.conv2(out)
+    return tF.relu(out + blk.downsample(x))
+
+
+class TorchTrunk(tnn.Module):
+    """Reference ImageEncoder trunk, img_agg='reshape'."""
+
+    def __init__(self, in_ch=3):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_ch, 64, 5, 2, 2)
+        self.resnet = tnn.Module()
+        for i in range(1, 5):
+            setattr(self.resnet, f"layer{i}",
+                    tnn.Sequential(_torch_basic_block()))
+
+    def forward(self, x):
+        x = tF.relu(self.conv1(x))
+        for i in range(1, 5):
+            x = _run_block(getattr(self.resnet, f"layer{i}")[0], x)
+        return x.reshape(x.size(0), -1)  # 'reshape' aggregation
+
+
+class TorchLargeCNP(tnn.Module):
+    """Reference CondNeuralProcess (max aggregation, img_agg='reshape')."""
+
+    def __init__(self, label_dim=4, y_dim=4):
+        super().__init__()
+        self.img_encoder = TorchTrunk()
+        self.task_encoder = tnn.Sequential(
+            tnn.Linear(256 + label_dim, 256), tnn.ReLU(),
+            tnn.Linear(256, 256), tnn.ReLU(), tnn.Linear(256, 256), tnn.ReLU())
+        self.mu = tnn.Linear(256, 256)
+        self.decoder = tnn.Module()
+        dec_trunk = TorchTrunk()
+        self.decoder.conv1 = dec_trunk.conv1
+        self.decoder.resnet = dec_trunk.resnet
+        self._dec_trunk = dec_trunk
+        self.decoder.fc_mu = tnn.Sequential(
+            tnn.Linear(512, 256), tnn.ReLU(), tnn.Linear(256, 256),
+            tnn.ReLU(), tnn.Linear(256, y_dim))
+
+    def forward(self, ctx_x, ctx_y, qry_x):
+        t, s = ctx_x.shape[:2]
+        q = qry_x.shape[1]
+        x_ctx = self.img_encoder(ctx_x.reshape(t * s, *ctx_x.shape[2:]))
+        x_ctx = x_ctx.reshape(t, s, -1)
+        feats = self.task_encoder(torch.cat([x_ctx, ctx_y], -1))
+        agg = torch.max(feats, dim=1)[0]
+        sample = self.mu(agg)[:, None, :].repeat(1, q, 1)
+        x_qry = self._dec_trunk(qry_x.reshape(t * q, *qry_x.shape[2:]))
+        x_qry = x_qry.reshape(t, q, -1)
+        return self.decoder.fc_mu(torch.cat([x_qry, sample], -1))
+
+
+rng = np.random.RandomState(5)
+
+
+def test_small_cnp_forward_fidelity():
+    tmodel = TorchSmallCNP().eval()
+    ctx_x = rng.rand(2, 3, 1, 128, 128).astype(np.float32)
+    ctx_y = rng.rand(2, 3, 3).astype(np.float32)
+    qry_x = rng.rand(2, 2, 1, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(ctx_x), torch.from_numpy(ctx_y),
+                      torch.from_numpy(qry_x)).numpy()
+
+    params = import_torch_checkpoint(
+        "CNPShapeNet1D", state_dict_to_numpy(tmodel.state_dict()))
+    model = SmallCNP(dim_w=64, dim_r=100, dim_z=64, y_dim=2, agg_mode="max")
+    got = model.apply(
+        {"params": params},
+        np.transpose(ctx_x, (0, 1, 3, 4, 2)), ctx_y,
+        np.transpose(qry_x, (0, 1, 3, 4, 2)),
+        ctx_mask=np.ones((2, 3), bool))
+    np.testing.assert_allclose(np.asarray(got.mu), want, rtol=1e-4, atol=1e-5)
+
+
+def test_large_cnp_forward_fidelity():
+    tmodel = TorchLargeCNP().eval()
+    ctx_x = rng.rand(2, 3, 3, 64, 64).astype(np.float32)
+    quats = rng.rand(2, 3, 4).astype(np.float32)
+    qry_x = rng.rand(2, 2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(ctx_x), torch.from_numpy(quats),
+                      torch.from_numpy(qry_x)).numpy()
+
+    params = import_torch_checkpoint(
+        "CondNeuralProcess", state_dict_to_numpy(tmodel.state_dict()))
+    model = LargeCNP(img_agg="reshape", agg_mode="max", y_dim=4)
+    got = model.apply(
+        {"params": params},
+        np.transpose(ctx_x, (0, 1, 3, 4, 2)), quats,
+        np.transpose(qry_x, (0, 1, 3, 4, 2)),
+        ctx_mask=np.ones((2, 3), bool))
+    np.testing.assert_allclose(np.asarray(got.mu), want, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,220 @@
+"""Import reference PyTorch checkpoints into wmfml_tpu parameter trees.
+
+The reference distributes pretrained ``.pt`` state_dicts (README.md:39-40).
+Converting them needs three layout rules:
+
+  * conv kernels:    torch OIHW -> flax HWIO            (transpose 2,3,1,0)
+  * linear kernels:  torch [out, in] -> flax [in, out]  (transpose)
+  * linear AFTER a flatten of conv features: torch flattens NCHW as (C, H, W)
+    while this framework flattens NHWC as (H, W, C) — the linear's input dim
+    must be permuted: weight [out, C*H*W] -> [out, C, H, W] ->
+    [H, W, C, out] -> [(H*W*C), out].
+
+Key maps cover the model families; torch tensors arrive as numpy arrays
+(call ``state_dict_to_numpy`` on a loaded torch state_dict first).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v) for k, v in state_dict.items()}
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def linear_after_flatten(w: np.ndarray, chw: Tuple[int, int, int]) -> np.ndarray:
+    c, h, ww = chw
+    out = w.shape[0]
+    return np.transpose(w.reshape(out, c, h, ww), (2, 3, 1, 0)).reshape(-1, out)
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+# ---------------------------------------------------------------------------
+# building-block importers (emit (path, value) pairs into a params tree)
+# ---------------------------------------------------------------------------
+
+def _tup(dst):
+    return dst if isinstance(dst, tuple) else (dst,)
+
+
+def import_literature_encoder(sd, prefix: str, tree: dict, dst,
+                              flatten_chw=(64, 8, 8)):
+    """torch Sequential indices of the literature stack
+    (networks/CNPShapeNet1D.py:46-56): 0/2 convs, 5 conv, 8 linear."""
+    dst = _tup(dst)
+    for idx, name in [("0", "conv0"), ("2", "conv1"), ("5", "conv2")]:
+        _set(tree, dst + (name, "kernel"),
+             conv_kernel(sd[f"{prefix}.{idx}.weight"]))
+        _set(tree, dst + (name, "bias"), sd[f"{prefix}.{idx}.bias"])
+    _set(tree, dst + ("fc", "Dense_0", "kernel"),
+         linear_after_flatten(sd[f"{prefix}.8.weight"], flatten_chw))
+    _set(tree, dst + ("fc", "Dense_0", "bias"), sd[f"{prefix}.8.bias"])
+
+
+def import_dense(sd, prefix: str, tree: dict, path: Tuple[str, ...],
+                 flatten_chw: Optional[Tuple[int, int, int]] = None):
+    w = sd[f"{prefix}.weight"]
+    kernel = (linear_after_flatten(w, flatten_chw) if flatten_chw
+              else linear_kernel(w))
+    _set(tree, path + ("kernel",), kernel)
+    _set(tree, path + ("bias",), sd[f"{prefix}.bias"])
+
+
+def import_mlp(sd, prefixes, tree: dict, dst,
+               first_flatten_chw: Optional[Tuple[int, int, int]] = None):
+    """Sequence of torch Linear prefixes -> MLP Dense_i children."""
+    for i, p in enumerate(prefixes):
+        import_dense(sd, p, tree, _tup(dst) + (f"Dense_{i}", "Dense_0"),
+                     flatten_chw=first_flatten_chw if i == 0 else None)
+
+
+def import_encoder_fc(sd, prefix: str, tree: dict, dst, n_hidden: int):
+    """EncoderFC: Sequential of Linear/ReLU pairs (networks/models.py:27-60).
+    torch indices 0, 2, 4, ... -> MLP_0/Dense_i."""
+    idxs = [str(2 * i) for i in range(n_hidden + 1)]
+    for i, idx in enumerate(idxs):
+        import_dense(sd, f"{prefix}.{idx}", tree,
+                     _tup(dst) + ("MLP_0", f"Dense_{i}", "Dense_0"))
+
+
+def import_resnet_trunk(sd, conv1_prefix: str, resnet_prefix: str,
+                        tree: dict, dst):
+    """ImageEncoder/NPDecoder trunk (networks/models.py:63-117 +
+    networks/ResNet.py:144-150): 5x5 conv + 4 single-BasicBlock stages."""
+    dst = _tup(dst)
+    _set(tree, dst + ("conv1", "kernel"), conv_kernel(sd[f"{conv1_prefix}.weight"]))
+    _set(tree, dst + ("conv1", "bias"), sd[f"{conv1_prefix}.bias"])
+    for i in range(1, 5):
+        blk = f"{resnet_prefix}.layer{i}.0"
+        _set(tree, dst + (f"layer{i}", "conv1", "kernel"),
+             conv_kernel(sd[f"{blk}.conv1.weight"]))
+        _set(tree, dst + (f"layer{i}", "conv2", "kernel"),
+             conv_kernel(sd[f"{blk}.conv2.weight"]))
+        _set(tree, dst + (f"layer{i}", "downsample", "kernel"),
+             conv_kernel(sd[f"{blk}.downsample.0.weight"]))
+
+
+def import_attention_block(sd, tree: dict, dst, n_heads: int = 8):
+    """Per-head AttnLinear lists -> stacked [in, H*d] dense kernels
+    (networks/ANP.py:56-68 -> MultiheadFavorCrossAttention W_k/W_v/W_q/W_out)."""
+    dst = _tup(dst)
+    for torch_name, ours in [("_W_k", "W_k"), ("_W_v", "W_v"), ("_W_q", "W_q")]:
+        ws = [linear_kernel(sd[f"{torch_name}.{i}.linear.weight"])
+              for i in range(n_heads)]
+        bs = [sd[f"{torch_name}.{i}.linear.bias"] for i in range(n_heads)]
+        _set(tree, dst + (ours, "kernel"), np.concatenate(ws, axis=1))
+        _set(tree, dst + (ours, "bias"), np.concatenate(bs, axis=0))
+    import_dense(sd, "_W.linear", tree, dst + ("W_out",))
+
+
+# ---------------------------------------------------------------------------
+# model-level importers
+# ---------------------------------------------------------------------------
+
+def import_small_cnp(sd: Dict[str, np.ndarray], n_hidden: int = 2,
+                     agg_mode: str = "max") -> dict:
+    """CNPShapeNet1D / CNPVanillaPascal1D (+ANP variants) state_dict ->
+    SmallCNP params tree."""
+    tree: dict = {}
+    import_literature_encoder(sd, "encoder_w0", tree, "encoder_w0")
+    import_dense(sd, "transform_y", tree, ("transform_y", "Dense_0"))
+    import_encoder_fc(sd, "encoder_r.layers", tree, "encoder_r", n_hidden)
+    import_dense(sd, "r_to_z", tree, ("r_to_z", "Dense_0"))
+    import_mlp(sd, ["decoder0.0", "decoder0.2", "decoder0.4"], tree,
+               "decoder0")
+    if agg_mode == "baco":
+        import_dense(sd, "rs_to_mu", tree, ("rs_to_mu", "Dense_0"))
+        import_dense(sd, "rs_to_var", tree, ("rs_to_var", "Dense_0"))
+    if agg_mode == "attention":
+        import_attention_block(sd, tree, "cross_attn")
+    return tree
+
+
+def import_large_cnp(sd: Dict[str, np.ndarray], agg_mode: str = "max",
+                     img_hw: int = 64, img_agg: str = "reshape",
+                     label_embed: bool = False) -> dict:
+    """CondNeuralProcess / ANP / CNPDistractor (+ANPDistractor) -> LargeCNP."""
+    tree: dict = {}
+    import_resnet_trunk(sd, "img_encoder.conv1", "img_encoder.resnet", tree,
+                        "img_encoder")
+    if label_embed:
+        import_dense(sd, "transform_y", tree, ("transform_y", "Dense_0"))
+    import_mlp(sd, ["task_encoder.0", "task_encoder.2", "task_encoder.4"],
+               tree, "task_encoder")
+    import_dense(sd, "mu", tree, ("mu", "Dense_0"))
+    if agg_mode == "baco":
+        import_dense(sd, "latent_mu", tree, ("latent_mu", "Dense_0"))
+        import_dense(sd, "latent_var", tree, ("latent_var", "Dense_0"))
+    if agg_mode == "attention":
+        import_attention_block(sd, tree, "cross_attn")
+    # NPDecoder: trunk + fc_mu head; trunk output is flattened (C, h, w) in
+    # torch vs (h, w, C) here -> permute fc_mu.0's first trunk_dim inputs
+    import_resnet_trunk(sd, "decoder.conv1", "decoder.resnet", tree,
+                        ("decoder", "trunk"))
+    final_hw = img_hw // 32
+    if img_agg == "reshape":
+        chw = (64, final_hw, final_hw)
+    elif img_agg in ("max", "baco"):
+        chw = (64, 2, 2)
+    else:  # mean -> no spatial structure
+        chw = None
+    w0 = sd["decoder.fc_mu.0.weight"]
+    trunk_dim = (np.prod(chw) if chw else 64)
+    if chw is not None:
+        w_img = linear_after_flatten(w0[:, :trunk_dim], chw)
+    else:
+        w_img = linear_kernel(w0[:, :trunk_dim])
+    w_task = linear_kernel(w0[:, trunk_dim:])
+    _set(tree, ("decoder", "fc_mu", "Dense_0", "Dense_0", "kernel"),
+         np.concatenate([w_img, w_task], axis=0))
+    _set(tree, ("decoder", "fc_mu", "Dense_0", "Dense_0", "bias"),
+         sd["decoder.fc_mu.0.bias"])
+    for i, p in enumerate(["decoder.fc_mu.2", "decoder.fc_mu.4"], start=1):
+        import_dense(sd, p, tree, ("decoder", "fc_mu", f"Dense_{i}", "Dense_0"))
+    return tree
+
+
+MODEL_IMPORTERS = {
+    "CNPShapeNet1D": import_small_cnp,
+    "ANPShapeNet1D": lambda sd, **kw: import_small_cnp(
+        sd, agg_mode="attention", **kw),
+    "CNPVanillaPascal1D": import_small_cnp,
+    "ANPVanillaPascal1D": lambda sd, **kw: import_small_cnp(
+        sd, agg_mode="attention", **kw),
+    "SingleTaskShapeNet1D": import_small_cnp,  # subset of keys applies
+    "CondNeuralProcess": import_large_cnp,
+    "ANP": lambda sd, **kw: import_large_cnp(sd, agg_mode="attention", **kw),
+    "CNPDistractor": lambda sd, **kw: import_large_cnp(
+        sd, img_hw=128, img_agg=kw.pop("img_agg", "max"), label_embed=True,
+        **kw),
+    "ANPDistractor": lambda sd, **kw: import_large_cnp(
+        sd, agg_mode="attention", img_hw=128,
+        img_agg=kw.pop("img_agg", "max"), label_embed=True, **kw),
+}
+
+
+def import_torch_checkpoint(method: str, sd_numpy: Dict[str, np.ndarray],
+                            **kw) -> dict:
+    if method not in MODEL_IMPORTERS:
+        raise NotImplementedError(
+            f"no torch importer for {method}; available: "
+            f"{sorted(MODEL_IMPORTERS)}")
+    return MODEL_IMPORTERS[method](sd_numpy, **kw)

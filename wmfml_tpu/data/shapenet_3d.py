@@ -117,27 +117,29 @@ class ShapeNet3DData(BaseData):
                 self.counters[source] += 1
             perm[t] = rng.permutation(v)
 
-        imgs = split["images"][items[:, None], perm]   # [T, V, H, W, 4]
+        from wmfml_tpu._native.bindings import assemble_episode
+
+        # native multithreaded gather of the image rows (hot host path);
+        # labels are tiny — numpy indexing
+        off = -1 if self.mode == "eval" else 0
+        ctx_x, qry_x = assemble_episode(split["images"], items, perm,
+                                        shot, query, query_offset=off)
         quats = split["Q"][items[:, None], perm]       # [T, V, 4]
-        ctx_x, ctx_y = imgs[:, :shot], quats[:, :shot]
-        if self.mode == "eval":
-            qry_x, qry_y = imgs, quats
-        else:
-            qry_x = imgs[:, shot:shot + query]
-            qry_y = quats[:, shot:shot + query]
+        ctx_y = quats[:, :shot]
+        qry_y = quats if self.mode == "eval" else quats[:, shot:shot + query]
         return make_episode(ctx_x, ctx_y, qry_x, qry_y,
                             max_ctx=self.max_ctx, shot=shot)
 
     # ------------------------------------------------------------------
 
     def _composite_split(self, split_name: str, rng: np.random.RandomState):
+        from wmfml_tpu._native.bindings import composite_backgrounds
+
         s = self.splits[split_name]
         imgs = s["images"]
         flat = imgs.reshape(-1, *imgs.shape[2:])
         bg_idx = rng.randint(0, self.bg_imgs.shape[0], size=flat.shape[0])
-        bg = self.bg_imgs[bg_idx]
-        mask = (flat[..., 3] < 1.0)[..., None]
-        flat[..., :3] = flat[..., :3] * mask + bg * (1 - mask)
+        composite_backgrounds(flat, self.bg_imgs, bg_idx)
 
     def gen_bg(self, config, data: str = "all"):
         rng = self.train_rng

@@ -130,13 +130,13 @@ class ShapeNetDistractor(BaseData):
                 items[t] = rng.randint(split["n_items"])
             perm[t] = rng.permutation(v)
 
-        imgs = split["images"][items[:, None], perm]
+        from wmfml_tpu._native.bindings import assemble_episode
+
+        off = -1 if self.mode == "eval" else 0
+        ctx_x, qry_x = assemble_episode(split["images"], items, perm,
+                                        shot, query, query_offset=off)
         cents = split["centers"][items[:, None], perm]
-        ctx_x, ctx_y = imgs[:, :shot], cents[:, :shot]
-        if self.mode == "eval":
-            qry_x, qry_y = imgs, cents
-        else:
-            qry_x = imgs[:, shot:shot + query]
-            qry_y = cents[:, shot:shot + query]
+        ctx_y = cents[:, :shot]
+        qry_y = cents if self.mode == "eval" else cents[:, shot:shot + query]
         return make_episode(ctx_x, ctx_y, qry_x, qry_y,
                             max_ctx=self.max_ctx, shot=shot)
