@@ -15,12 +15,17 @@ resume exactly — the reference's resume helper exists but is never wired
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+# orbax narrates every save at INFO through absl; keep run logs readable
+for _name in ("absl", "orbax", "orbax.checkpoint"):
+    logging.getLogger(_name).setLevel(logging.WARNING)
 
 from wmfml_tpu.train.state import TrainState
 
