@@ -35,6 +35,11 @@ def main():
     from wmfml_tpu.train.state import TrainState, build_optimizer
     from wmfml_tpu.train.steps import build_train_step, init_model
 
+    import numpy as np
+
+    from wmfml_tpu.train.steps import build_multi_train_step
+
+    K = 16  # training steps fused per dispatch (steps_per_call)
     cfg = Config.from_dict(dict(
         method="ANPShapeNet1D", task="shapenet_1d",
         aug_list=["task_aug", "data_aug"], checkpoint="",
@@ -43,7 +48,7 @@ def main():
         n_hidden_units_r=[100, 100], dim_r=64, dim_z=64, noise_scale=0.0,
         lr=1e-4, weight_decay=False, optimizer="Adam", bg_gen_freq=1000,
         val_iters=1, val_freq=10**9, iterations=1, device="tpu", seed=0,
-        compute_dtype="bfloat16", synthetic_data=True,
+        synthetic_data=True, steps_per_call=K,
     ), make_dirs=False)
 
     data = build_data(cfg, mode="train")
@@ -55,29 +60,34 @@ def main():
     variables = init_model(model, cfg, key)
     state = jax.device_put(TrainState.create(variables, tx),
                            mesh_ctx.replicated)
-    train_step = build_train_step(model, cfg, mesh_ctx, tx)
+    train_step = build_multi_train_step(model, cfg, mesh_ctx, tx, K)
 
-    def step(state, i, batch):
-        return train_step(state, batch, jax.random.fold_in(key, i))
+    def stack_batches():
+        eps = [data.get_batch("train", cfg.tasks_per_batch, cfg.max_ctx_num)
+               for _ in range(K)]
+        stacked = {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # pre-sample a rotation of host batches so host sampling overlaps
-    batches = [mesh_ctx.put_batch(
-        data.get_batch("train", cfg.tasks_per_batch, cfg.max_ctx_num))
-        for _ in range(8)]
+        sh = NamedSharding(mesh_ctx.mesh, P(None, "data"))
+        return jax.device_put(stacked, sh)
+
+    batches = [stack_batches() for _ in range(3)]
 
     # warmup / compile
-    for i in range(3):
-        state, metrics = step(state, i, batches[i % len(batches)])
+    for i in range(2):
+        state, metrics = train_step(state, batches[i % 3],
+                                    jax.random.fold_in(key, i))
     jax.block_until_ready(metrics["loss"])
 
-    iters = 50
+    calls = 8
     t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, 100 + i, batches[i % len(batches)])
+    for i in range(calls):
+        state, metrics = train_step(state, batches[i % 3],
+                                    jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    tasks_per_sec = iters * cfg.tasks_per_batch / dt
+    tasks_per_sec = calls * K * cfg.tasks_per_batch / dt
     result = {
         "metric": "meta_train_tasks_per_sec_per_chip",
         "value": round(float(tasks_per_sec), 2),

@@ -152,8 +152,14 @@ class Config:
         self.prefetch = get("prefetch", 2)
         self.data_path = get("data_path", None)  # override dataset root
         self.synthetic_data = get("synthetic_data", False)
-        self.use_pallas = get("use_pallas", True)
+        # fused Pallas FAVOR+ kernel: opt-in — at this workload's tiny
+        # attention sizes XLA's fused einsums measure faster (see bench);
+        # the kernel pays off at larger context/feature sizes
+        self.use_pallas = get("use_pallas", False)
         self.donate = get("donate", True)
+        # training steps fused per host dispatch (lax.scan over staged
+        # batches); amortizes dispatch latency, huge at small batch sizes
+        self.steps_per_call = get("steps_per_call", 1)
 
         if self.task not in TASK_SHAPES:
             raise TypeError(f"{self.task} is not implemented in this experiments!")

@@ -106,6 +106,59 @@ def build_train_step(model, config, mesh_ctx: Optional[MeshContext] = None,
     )
 
 
+def build_multi_train_step(model, config, mesh_ctx: Optional[MeshContext],
+                           tx: Optional[optax.GradientTransformation],
+                           steps_per_call: int) -> Callable:
+    """K training steps fused into one dispatch via lax.scan.
+
+    At reference batch sizes a single step is ~0.1 ms of TPU compute under
+    ~0.7 ms of host dispatch; scanning K pre-staged episode batches inside
+    one jitted call amortizes the dispatch to nothing. Batches arrive stacked
+    on a leading K axis ([K, T, ...], task axis sharded over "data").
+    Returns (state, metrics-of-last-step with loss averaged over K).
+    """
+    tx = tx or build_optimizer(config)
+    loss_func = LossFunc(config.loss_type, config.task)
+    forward = make_forward(model, config, train=True)
+    beta = float(config.beta or 0.0)
+    contrastive_rate = float(config.contrastive_rate or 0.0)
+
+    def one_step(state, batch_key):
+        batch, key = batch_key
+
+        def loss_fn(params):
+            variables = {"params": params, **state.extra_vars}
+            out, pbatch = forward(variables, batch, key)
+            task_loss = loss_func.calc_loss(
+                out.mu.astype(jnp.float32), out.var, pbatch["qry_y"],
+                test=False)
+            total = task_loss + beta * out.kl
+            total = total + contrastive_rate * _contra_term(config, out, pbatch)
+            return total
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt), loss
+
+    def multi_step(state, batches, key):
+        keys = jax.random.split(key, steps_per_call)
+        state, losses = jax.lax.scan(one_step, state, (batches, keys))
+        return state, {"loss": jnp.mean(losses), "last_loss": losses[-1]}
+
+    if mesh_ctx is None:
+        return jax.jit(multi_step, donate_argnums=(0,) if config.donate else ())
+    repl = mesh_ctx.replicated
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_k = NamedSharding(mesh_ctx.mesh, P(None, "data"))
+    bs = dict(ctx_x=data_k, ctx_y=data_k, ctx_mask=data_k, qry_x=data_k,
+              qry_y=data_k)
+    return jax.jit(multi_step, in_shardings=(repl, bs, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if config.donate else ())
+
+
 def build_eval_step(model, config, mesh_ctx: Optional[MeshContext] = None) -> Callable:
     loss_func = LossFunc(config.loss_type, config.task)
     forward = make_forward(model, config, train=False)

@@ -105,15 +105,36 @@ class ModelTrainer:
         return init_model(self.model, self.config, key)
 
     def _build_steps(self, tx):
-        self.train_step = build_train_step(self.model, self.config,
-                                           self.mesh, tx)
+        self.steps_per_call = max(int(getattr(self.config, "steps_per_call", 1) or 1), 1)
+        if self.steps_per_call > 1:
+            from wmfml_tpu.train.steps import build_multi_train_step
+
+            self.train_step = build_multi_train_step(
+                self.model, self.config, self.mesh, tx, self.steps_per_call)
+        else:
+            self.train_step = build_train_step(self.model, self.config,
+                                               self.mesh, tx)
         self.eval_step = build_eval_step(self.model, self.config, self.mesh)
 
     # ------------------------------------------------------------------
 
     def _sample_train(self):
-        return self.data.get_batch("train", self.config.tasks_per_batch,
-                                   self.config.max_ctx_num)
+        cfg = self.config
+        if self.steps_per_call > 1:
+            eps = [self.data.get_batch("train", cfg.tasks_per_batch,
+                                       cfg.max_ctx_num)
+                   for _ in range(self.steps_per_call)]
+            return {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+        return self.data.get_batch("train", cfg.tasks_per_batch,
+                                   cfg.max_ctx_num)
+
+    def _put_train_batch(self, batch):
+        if self.steps_per_call > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(
+                batch, NamedSharding(self.mesh.mesh, P(None, "data")))
+        return self.mesh.put_batch(batch)
 
     def train(self):
         cfg = self.config
@@ -123,13 +144,14 @@ class ModelTrainer:
         if cfg.task == "shapenet_3d" and cfg.gen_bg:
             self.data.gen_bg(cfg)
 
-        prefetch = Prefetcher(self._sample_train, self.mesh.put_batch,
+        prefetch = Prefetcher(self._sample_train, self._put_train_batch,
                               depth=cfg.prefetch)
         pending = None  # (step_idx, device_loss) for the async NaN guard
+        k = self.steps_per_call
         try:
-            for it in range(start, cfg.iterations):
+            for it in range(start, cfg.iterations, k):
                 if (cfg.task == "shapenet_3d" and cfg.gen_bg
-                        and it > start and it % cfg.bg_gen_freq == 0):
+                        and it > start and it % cfg.bg_gen_freq < k):
                     self.data.gen_bg(cfg, data="train")
 
                 batch = next(prefetch)
@@ -140,7 +162,7 @@ class ModelTrainer:
                     self._guard(*pending)
                 pending = (it, metrics["loss"])
 
-                if it % cfg.val_freq == 0:
+                if it % cfg.val_freq < k:
                     train_loss = self._guard(*pending)
                     pending = None
                     self.writer.add_scalar("Loss/train", train_loss, it)
@@ -149,7 +171,7 @@ class ModelTrainer:
                     if not skip_test:
                         self.validate(it, "test")
 
-                if it % 1000 == 0:
+                if it % 1000 < k:
                     self.ckpt.save("model_intermediate", self.state)
 
             if pending is not None:
