@@ -53,8 +53,10 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
 
     def restore(self, name_or_path: str, state: TrainState) -> TrainState:
-        path = (name_or_path if os.path.isabs(name_or_path)
-                else self._path(name_or_path))
+        if os.path.isabs(name_or_path) or os.path.exists(name_or_path):
+            path = os.path.abspath(name_or_path)  # explicit path (any cwd-rel)
+        else:
+            path = self._path(name_or_path)       # bare name in this run
         target = {
             "step": state.step,
             "params": state.params,

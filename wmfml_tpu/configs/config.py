@@ -168,10 +168,15 @@ class Config:
         qn = get("query_num", DEFAULT_QUERY_NUM.get(self.task))
         self.query_num = int(qn) if qn is not None else int(self.max_ctx_num)
 
+        # run-dir layout mirrors the reference (configs/config.py:106) except
+        # aug_list is joined filesystem-safe: tensorstore (orbax checkpoints)
+        # cannot read paths containing [ ] ' characters, which str(aug_list)
+        # would embed
+        aug_tag = "+".join(self.aug_list) if self.aug_list else "noaug"
         self.save_path = (
             f"{self.results_root}/{self.mode}/{self.method}/"
             f"{self.timestamp}_{self.task}_datasize_{self.data_size}_"
-            f"{self.agg_mode}_{self.img_agg}{self.loss_type}_{self.aug_list}_seed_{self.seed}"
+            f"{self.agg_mode}_{self.img_agg}{self.loss_type}_{aug_tag}_seed_{self.seed}"
         )
         if make_dirs:
             self.create_dirs()

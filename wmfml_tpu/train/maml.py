@@ -110,6 +110,7 @@ class MAMLTrainer(ModelTrainer):
         return self.model.init({"params": k1, "bbb": k2}, x, mask=None)
 
     def _build_steps(self, tx):
+        self.steps_per_call = 1  # step fusion not yet wired for MAML
         model, config, mesh = self.model, self.config, self.mesh
         train_outer = build_maml_outer(model, config,
                                        int(config.num_steps or 5),

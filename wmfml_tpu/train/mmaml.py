@@ -118,6 +118,7 @@ class MMAMLTrainer(ModelTrainer):
                            "embedding": embed_vars["params"]}}
 
     def _build_steps(self, tx):
+        self.steps_per_call = 1  # step fusion not yet wired for MMAML
         config, mesh = self.config, self.mesh
         tx = build_mmaml_optimizer(config)
         # rebuild opt_state for the multi-transform optimizer

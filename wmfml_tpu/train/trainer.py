@@ -86,6 +86,8 @@ class ModelTrainer:
         # reference best-loss thresholds (trainer/base_trainer.py:27)
         self.best_loss = {"validation": 50000.0, "test": 20000.0}
 
+        self.steps_per_call = max(
+            int(getattr(config, "steps_per_call", 1) or 1), 1)
         tx = build_optimizer(config)
         key = jax.random.PRNGKey(config.seed)
         self.base_key = key
@@ -105,7 +107,6 @@ class ModelTrainer:
         return init_model(self.model, self.config, key)
 
     def _build_steps(self, tx):
-        self.steps_per_call = max(int(getattr(self.config, "steps_per_call", 1) or 1), 1)
         if self.steps_per_call > 1:
             from wmfml_tpu.train.steps import build_multi_train_step
 
