@@ -33,36 +33,46 @@ import jax
 import jax.numpy as jnp
 
 
+def _interp_matrix(n: int, src: jnp.ndarray) -> jnp.ndarray:
+    """[n, n] bilinear interpolation matrix: row i mixes input taps for
+    output position i sampling at ``src[i]``; out-of-range taps get zero
+    weight (their mass is filled with cval by the caller)."""
+    i0 = jnp.floor(src)
+    frac = src - i0
+    w0, w1 = 1.0 - frac, frac
+    valid0 = (i0 >= 0) & (i0 < n)
+    valid1 = (i0 + 1 >= 0) & (i0 + 1 < n)
+    i0c = jnp.clip(i0, 0, n - 1).astype(jnp.int32)
+    i1c = jnp.clip(i0 + 1, 0, n - 1).astype(jnp.int32)
+    eye0 = jax.nn.one_hot(i0c, n, dtype=jnp.float32)
+    eye1 = jax.nn.one_hot(i1c, n, dtype=jnp.float32)
+    return (w0 * valid0)[:, None] * eye0 + (w1 * valid1)[:, None] * eye1
+
+
 def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval) -> jnp.ndarray:
     """Bilinear affine warp about the image center with constant fill.
 
     img [H, W, C]; scale/translate are (x, y) tuples; output pixel (x, y)
     samples input at center + (x - center - tx) / sx.
+
+    Scale+translate is separable, so the warp is two small matmuls
+    (row-mix then column-mix) — MXU work instead of the double gather XLA
+    would emit for coordinate indexing. Constant fill is applied via the
+    interpolation matrices' missing mass (exactly per-tap cval semantics).
     """
-    h, w, c = img.shape
+    h, w, _ = img.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
     sx, sy = scale_xy
     tx, ty = translate_xy
-    src_y = (ys - cy - ty) / sy + cy
-    src_x = (xs - cx - tx) / sx + cx
+    src_y = (jnp.arange(h, dtype=jnp.float32) - cy - ty) / sy + cy
+    src_x = (jnp.arange(w, dtype=jnp.float32) - cx - tx) / sx + cx
 
-    y0 = jnp.floor(src_y)
-    x0 = jnp.floor(src_x)
-    wy = (src_y - y0)[:, None, None]
-    wx = (src_x - x0)[None, :, None]
-
-    def gather(yi, xi):
-        valid = ((yi >= 0) & (yi < h))[:, None, None] & ((xi >= 0) & (xi < w))[None, :, None]
-        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        vals = img[yi][:, xi]  # [H, W, C]
-        return jnp.where(valid, vals, cval)
-
-    top = gather(y0, x0) * (1 - wx) + gather(y0, x0 + 1) * wx
-    bot = gather(y0 + 1, x0) * (1 - wx) + gather(y0 + 1, x0 + 1) * wx
-    return top * (1 - wy) + bot * wy
+    wy = _interp_matrix(h, src_y)                      # [H, H]
+    wx = _interp_matrix(w, src_x)                      # [W, W]
+    out = jnp.einsum("ih,hwc,jw->ijc", wy, img.astype(jnp.float32), wx,
+                     preferred_element_type=jnp.float32)
+    coverage = (jnp.sum(wy, axis=1)[:, None] * jnp.sum(wx, axis=1)[None, :])
+    return (out + cval * (1.0 - coverage)[:, :, None]).astype(img.dtype)
 
 
 def crop_and_pad(key, img):

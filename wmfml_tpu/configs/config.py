@@ -160,6 +160,10 @@ class Config:
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes
         self.steps_per_call = get("steps_per_call", 1)
+        # device-resident train split + on-device episode sampling:
+        # "auto" enables it when the split fits the HBM budget; host traffic
+        # drops to one PRNG key per fused call
+        self.device_data = get("device_data", "auto")
 
         if self.task not in TASK_SHAPES:
             raise TypeError(f"{self.task} is not implemented in this experiments!")

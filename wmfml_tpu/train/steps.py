@@ -159,6 +159,64 @@ def build_multi_train_step(model, config, mesh_ctx: Optional[MeshContext],
                    donate_argnums=(0,) if config.donate else ())
 
 
+def build_device_data_train_step(model, config, sampler,
+                                 mesh_ctx: Optional[MeshContext],
+                                 tx: Optional[optax.GradientTransformation],
+                                 steps_per_call: int) -> Callable:
+    """K training steps with ON-DEVICE episode sampling, one dispatch.
+
+    The split lives in HBM (wmfml_tpu.data.device_sampler); each scanned step
+    draws its episode with XLA gathers from a PRNG key. Host traffic per call:
+    one key. Signature: step(state, key) -> (state, metrics).
+    """
+    tx = tx or build_optimizer(config)
+    loss_func = LossFunc(config.loss_type, config.task)
+    forward = make_forward(model, config, train=True)
+    beta = float(config.beta or 0.0)
+    contrastive_rate = float(config.contrastive_rate or 0.0)
+    data_sharding = mesh_ctx.data_sharding if mesh_ctx else None
+
+    def one_step(state, inputs):
+        batch, k_fwd = inputs
+
+        def loss_fn(params):
+            variables = {"params": params, **state.extra_vars}
+            out, pbatch = forward(variables, batch, k_fwd)
+            task_loss = loss_func.calc_loss(
+                out.mu.astype(jnp.float32), out.var, pbatch["qry_y"],
+                test=False)
+            total = task_loss + beta * out.kl
+            return total + contrastive_rate * _contra_term(config, out, pbatch)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt), loss
+
+    def fused(state, key):
+        k_sample, k_fwd = jax.random.split(key)
+        # one big gather for all K episodes (amortizes XLA gather overhead
+        # vs per-step gathers inside the scan)
+        batches = jax.vmap(lambda k: sampler.sample(k, config.tasks_per_batch)
+                           )(jax.random.split(k_sample, steps_per_call))
+        if data_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh_ctx.mesh, P(None, "data"))
+            batches = jax.lax.with_sharding_constraint(
+                batches, {k: sh for k in batches})
+        keys = jax.random.split(k_fwd, steps_per_call)
+        state, losses = jax.lax.scan(one_step, state, (batches, keys))
+        return state, {"loss": jnp.mean(losses), "last_loss": losses[-1]}
+
+    if mesh_ctx is None:
+        return jax.jit(fused, donate_argnums=(0,) if config.donate else ())
+    repl = mesh_ctx.replicated
+    return jax.jit(fused, in_shardings=(repl, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if config.donate else ())
+
+
 def build_eval_step(model, config, mesh_ctx: Optional[MeshContext] = None) -> Callable:
     loss_func = LossFunc(config.loss_type, config.task)
     forward = make_forward(model, config, train=False)

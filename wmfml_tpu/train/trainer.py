@@ -88,6 +88,7 @@ class ModelTrainer:
 
         self.steps_per_call = max(
             int(getattr(config, "steps_per_call", 1) or 1), 1)
+        self.device_sampler = None  # set by _build_steps when enabled
         tx = build_optimizer(config)
         key = jax.random.PRNGKey(config.seed)
         self.base_key = key
@@ -107,7 +108,24 @@ class ModelTrainer:
         return init_model(self.model, self.config, key)
 
     def _build_steps(self, tx):
-        if self.steps_per_call > 1:
+        self.device_sampler = None
+        if self.config.device_data in ("auto", True, "true"):
+            from wmfml_tpu.data.device_sampler import from_dataset
+
+            self.device_sampler = from_dataset(self.data, self.config)
+            if self.device_sampler is None and self.config.device_data not in ("auto",):
+                self.logger.info("device_data requested but split layout/size "
+                                 "unsupported; falling back to host streaming")
+        if self.device_sampler is not None:
+            from wmfml_tpu.train.steps import build_device_data_train_step
+
+            self.train_step = build_device_data_train_step(
+                self.model, self.config, self.device_sampler, self.mesh, tx,
+                self.steps_per_call)
+            self.logger.info(
+                f"train split resident in HBM; on-device episode sampling, "
+                f"{self.steps_per_call} step(s) per dispatch")
+        elif self.steps_per_call > 1:
             from wmfml_tpu.train.steps import build_multi_train_step
 
             self.train_step = build_multi_train_step(
@@ -145,22 +163,34 @@ class ModelTrainer:
         if cfg.task == "shapenet_3d" and cfg.gen_bg:
             self.data.gen_bg(cfg)
 
-        prefetch = Prefetcher(self._sample_train, self._put_train_batch,
-                              depth=cfg.prefetch)
+        device_data = self.device_sampler is not None
+        prefetch = None
+        if not device_data:
+            prefetch = Prefetcher(self._sample_train, self._put_train_batch,
+                                  depth=cfg.prefetch)
         pending = None  # (step_idx, device_loss) for the async NaN guard
         k = self.steps_per_call
         try:
             for it in range(start, cfg.iterations, k):
-                if (cfg.task == "shapenet_3d" and cfg.gen_bg
-                        and it > start and it % cfg.bg_gen_freq < k):
+                # host-side split recompositing only on the streaming path;
+                # the device sampler composites fresh backgrounds per batch
+                if (not device_data and cfg.task == "shapenet_3d"
+                        and cfg.gen_bg and it > start
+                        and it % cfg.bg_gen_freq < k):
                     self.data.gen_bg(cfg, data="train")
 
-                batch = next(prefetch)
                 key = jax.random.fold_in(self.base_key, it)
-                self.state, metrics = self.train_step(self.state, batch, key)
+                if device_data:
+                    self.state, metrics = self.train_step(self.state, key)
+                else:
+                    batch = next(prefetch)
+                    self.state, metrics = self.train_step(self.state, batch,
+                                                          key)
 
-                if pending is not None:
-                    self._guard(*pending)
+                # NaN guard: keep the loss on device and only force a host
+                # sync at log boundaries — a per-call scalar fetch costs a
+                # full host<->device round trip (reference checks every iter;
+                # here abort latency is <= val_freq iterations)
                 pending = (it, metrics["loss"])
 
                 if it % cfg.val_freq < k:
@@ -179,7 +209,8 @@ class ModelTrainer:
                 self._guard(*pending)
             self.ckpt.save(f"model_end_{cfg.iterations}", self.state)
         finally:
-            prefetch.close()
+            if prefetch is not None:
+                prefetch.close()
             self.writer.flush()
 
     def _guard(self, step_idx: int, device_loss) -> float:
