@@ -44,7 +44,7 @@ def main():
         n_hidden_units_r=[100, 100], dim_r=64, dim_z=64, noise_scale=0.0,
         lr=1e-4, weight_decay=False, optimizer="Adam", bg_gen_freq=1000,
         val_iters=1, val_freq=10**9, iterations=1, device="tpu", seed=0,
-        synthetic_data=True, steps_per_call=K,
+        synthetic_data=True, steps_per_call=K, compute_dtype="bfloat16",
     ), make_dirs=False)
 
     data = build_data(cfg, mode="train")
