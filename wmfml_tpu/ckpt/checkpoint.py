@@ -23,9 +23,11 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-# orbax narrates every save at INFO through absl; keep run logs readable
+# orbax narrates every save at INFO/WARNING through absl (incl. a benign
+# single-process "Skipping merge of OCDBT" warning per save); keep run logs
+# readable
 for _name in ("absl", "orbax", "orbax.checkpoint"):
-    logging.getLogger(_name).setLevel(logging.WARNING)
+    logging.getLogger(_name).setLevel(logging.ERROR)
 
 from wmfml_tpu.train.state import TrainState
 
