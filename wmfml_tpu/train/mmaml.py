@@ -97,6 +97,36 @@ def build_mmaml_optimizer(config):
         param_labels={"model": "model", "embedding": "embedding"})
 
 
+def build_mmaml_device_train_step(bundle, config, sampler, mesh_ctx, tx,
+                                  steps_per_call: int, outer):
+    """K MMAML outer steps per dispatch, episodes sampled on device."""
+
+    def one_step(state, inputs):
+        batch, key = inputs
+        loss, grads = jax.value_and_grad(
+            lambda p: outer(p, batch, key))(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (state.replace(step=state.step + 1, params=params,
+                              opt_state=new_opt), loss)
+
+    def fused(state, key):
+        k_sample, k_fwd = jax.random.split(key)
+        batches = jax.vmap(lambda k: sampler.sample(k, config.tasks_per_batch)
+                           )(jax.random.split(k_sample, steps_per_call))
+        keys = jax.random.split(k_fwd, steps_per_call)
+        state, losses = jax.lax.scan(one_step, state, (batches, keys))
+        return state, {"loss": jnp.mean(losses), "task_loss": losses[-1],
+                       "kl": 0.0, "contra": 0.0}
+
+    if mesh_ctx is None:
+        return jax.jit(fused, donate_argnums=(0,) if config.donate else ())
+    repl = mesh_ctx.replicated
+    return jax.jit(fused, in_shardings=(repl, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if config.donate else ())
+
+
 class MMAMLTrainer(ModelTrainer):
     def __init__(self, model: MMAMLBundle, config, data, **kw):
         self.bundle = model
@@ -118,7 +148,6 @@ class MMAMLTrainer(ModelTrainer):
                            "embedding": embed_vars["params"]}}
 
     def _build_steps(self, tx):
-        self.steps_per_call = 1  # step fusion not yet wired for MMAML
         config, mesh = self.config, self.mesh
         tx = build_mmaml_optimizer(config)
         # rebuild opt_state for the multi-transform optimizer
@@ -131,6 +160,21 @@ class MMAMLTrainer(ModelTrainer):
                                            or config.num_steps or 5),
                                        train=False, test=True)
 
+        if config.device_data in ("auto", True, "true"):
+            from wmfml_tpu.data.device_sampler import from_dataset
+
+            self.device_sampler = from_dataset(self.data, config)
+        if self.device_sampler is not None:
+            self.train_step = build_mmaml_device_train_step(
+                self.bundle, config, self.device_sampler, mesh, tx,
+                self.steps_per_call, train_outer)
+            self.logger.info(
+                f"MMAML: split resident in HBM, {self.steps_per_call} "
+                f"outer step(s) per dispatch")
+            self._build_eval(eval_outer, mesh, config)
+            return
+        self.steps_per_call = 1  # host path: no fusion
+
         def train_step(state, batch, key):
             loss, grads = jax.value_and_grad(
                 lambda p: train_outer(p, batch, key))(state.params)
@@ -141,9 +185,6 @@ class MMAMLTrainer(ModelTrainer):
                     {"loss": loss, "task_loss": loss, "kl": 0.0,
                      "contra": 0.0})
 
-        def eval_step(state, batch, key):
-            return eval_outer(state.params, batch, key)
-
         repl, data = mesh.replicated, mesh.data_sharding
         bs = dict(ctx_x=data, ctx_y=data, ctx_mask=data, qry_x=data,
                   qry_y=data)
@@ -151,5 +192,14 @@ class MMAMLTrainer(ModelTrainer):
             train_step, in_shardings=(repl, bs, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,) if config.donate else ())
+        self._build_eval(eval_outer, mesh, config)
+
+    def _build_eval(self, eval_outer, mesh, config):
+        def eval_step(state, batch, key):
+            return eval_outer(state.params, batch, key)
+
+        repl, data = mesh.replicated, mesh.data_sharding
+        bs = dict(ctx_x=data, ctx_y=data, ctx_mask=data, qry_x=data,
+                  qry_y=data)
         self.eval_step = jax.jit(eval_step, in_shardings=(repl, bs, repl),
                                  out_shardings=repl)

@@ -13,6 +13,20 @@ def convert_index_to_angle(index, num_instances_per_item):
     return angle, np.sin(angle_radians), np.cos(angle_radians)
 
 
+def shuffle_batch(*arrays, rng=None):
+    """Shuffle arrays by a shared permutation of axis 0 (utils/utils.py:61-66)."""
+    rng = rng or np.random
+    perm = rng.permutation(arrays[0].shape[0])
+    out = tuple(a[perm] for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def compute_accuracy(logits, targets):
+    """Argmax accuracy (utils/utils.py:82-87; unused by the regression path)."""
+    preds = np.argmax(np.asarray(logits), axis=1)
+    return float(np.mean(preds == np.asarray(targets)))
+
+
 def mean_confidence_interval(values, confidence: float = 0.95):
     """Mean and half-width of the normal-approx CI (trainer/mmaml_trainer.py:142-147)."""
     a = np.asarray(values, dtype=np.float64)
