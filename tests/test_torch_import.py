@@ -134,11 +134,11 @@ def test_small_cnp_forward_fidelity():
         want = tmodel(torch.from_numpy(ctx_x), torch.from_numpy(ctx_y),
                       torch.from_numpy(qry_x)).numpy()
 
-    params = import_torch_checkpoint(
+    variables = import_torch_checkpoint(
         "CNPShapeNet1D", state_dict_to_numpy(tmodel.state_dict()))
     model = SmallCNP(dim_w=64, dim_r=100, dim_z=64, y_dim=2, agg_mode="max")
     got = model.apply(
-        {"params": params},
+        variables,
         np.transpose(ctx_x, (0, 1, 3, 4, 2)), ctx_y,
         np.transpose(qry_x, (0, 1, 3, 4, 2)),
         ctx_mask=np.ones((2, 3), bool))
@@ -154,12 +154,103 @@ def test_large_cnp_forward_fidelity():
         want = tmodel(torch.from_numpy(ctx_x), torch.from_numpy(quats),
                       torch.from_numpy(qry_x)).numpy()
 
-    params = import_torch_checkpoint(
+    variables = import_torch_checkpoint(
         "CondNeuralProcess", state_dict_to_numpy(tmodel.state_dict()))
     model = LargeCNP(img_agg="reshape", agg_mode="max", y_dim=4)
     got = model.apply(
-        {"params": params},
+        variables,
         np.transpose(ctx_x, (0, 1, 3, 4, 2)), quats,
         np.transpose(qry_x, (0, 1, 3, 4, 2)),
         ctx_mask=np.ones((2, 3), bool))
     np.testing.assert_allclose(np.asarray(got.mu), want, rtol=2e-4, atol=2e-4)
+
+
+class TorchFavorAttention(tnn.Module):
+    """FAVOR+ math in torch, written from the formulas (fixed projection)."""
+
+    def __init__(self, dim_heads, nb_features):
+        super().__init__()
+        self.register_buffer(
+            "projection_matrix",
+            torch.randn(nb_features, dim_heads) / (dim_heads ** 0.25))
+
+    def _features(self, data, is_query):
+        d = data.shape[-1]
+        normalizer = d ** -0.25
+        ratio = self.projection_matrix.shape[0] ** -0.5
+        dash = torch.einsum("...id,jd->...ij", data * normalizer,
+                            self.projection_matrix)
+        diag = (data ** 2).sum(-1, keepdim=True) / 2.0 * normalizer ** 2
+        if is_query:
+            stab = dash.max(-1, keepdim=True).values
+        else:
+            stab = dash.max()
+        return ratio * (torch.exp(dash - diag - stab) + 1e-4)
+
+    def forward(self, q, k, v):
+        qp = self._features(q, True)
+        kp = self._features(k, False)
+        k_sum = kp.sum(dim=-2)
+        d_inv = 1.0 / torch.einsum("...nd,...d->...n", qp, k_sum)
+        context = torch.einsum("...nd,...ne->...de", kp, v)
+        return torch.einsum("...de,...nd,...n->...ne", context, qp, d_inv)
+
+
+class TorchANPSmall(TorchSmallCNP):
+    """Reference ANPShapeNet1D: SmallCNP + 8-head FAVOR cross attention."""
+
+    def __init__(self, dim_w=64, dim_r=64, dim_z=64, n_heads=8):
+        super().__init__(dim_w=dim_w, dim_r=dim_r, dim_z=dim_z)
+        import math
+
+        self.n_heads = n_heads
+        def head():
+            lin = tnn.Module()
+            lin.linear = tnn.Linear(dim_w, dim_w)
+            return lin
+        self._W_k = tnn.ModuleList([head() for _ in range(n_heads)])
+        self._W_v = tnn.ModuleList([head() for _ in range(n_heads)])
+        self._W_q = tnn.ModuleList([head() for _ in range(n_heads)])
+        self._W = tnn.Module()
+        self._W.linear = tnn.Linear(n_heads * dim_w, dim_w)
+        self.attn = TorchFavorAttention(dim_w, int(dim_w * math.log(dim_w)))
+
+    def forward(self, ctx_x, ctx_y, qry_x):
+        t, s = ctx_x.shape[:2]
+        q = qry_x.shape[1]
+        x_ctx = self.encoder_w0(ctx_x.reshape(t * s, *ctx_x.shape[2:]))
+        x_ctx = x_ctx.reshape(t, s, self.dim_w)
+        x_qry = self.encoder_w0(qry_x.reshape(t * q, *qry_x.shape[2:]))
+        x_qry = x_qry.reshape(t, q, self.dim_w)
+        rs = self.encoder_r.layers(
+            torch.cat([x_ctx, self.transform_y(ctx_y)], -1))
+        ks = torch.stack([m.linear(x_ctx) for m in self._W_k], 1)
+        vs = torch.stack([m.linear(rs) for m in self._W_v], 1)
+        qs = torch.stack([m.linear(x_qry) for m in self._W_q], 1)
+        outs = self.attn(qs, ks, vs)                 # [T, H, Q, d]
+        outs = outs.permute(0, 2, 3, 1).reshape(t, q, -1)
+        z = self.r_to_z(self._W.linear(outs))
+        return self.decoder0(torch.cat([x_qry, z], -1))
+
+
+def test_anp_small_forward_fidelity_with_projection():
+    torch.manual_seed(0)
+    tmodel = TorchANPSmall().eval()
+    ctx_x = rng.rand(2, 3, 1, 128, 128).astype(np.float32)
+    ctx_y = rng.rand(2, 3, 3).astype(np.float32)
+    qry_x = rng.rand(2, 2, 1, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(ctx_x), torch.from_numpy(ctx_y),
+                      torch.from_numpy(qry_x)).numpy()
+
+    variables = import_torch_checkpoint(
+        "ANPShapeNet1D", state_dict_to_numpy(tmodel.state_dict()))
+    assert "favor" in variables  # projection buffer imported
+    model = SmallCNP(dim_w=64, dim_r=64, dim_z=64, y_dim=2,
+                     agg_mode="attention")
+    got = model.apply(
+        variables,
+        np.transpose(ctx_x, (0, 1, 3, 4, 2)), ctx_y,
+        np.transpose(qry_x, (0, 1, 3, 4, 2)),
+        ctx_mask=np.ones((2, 3), bool))
+    np.testing.assert_allclose(np.asarray(got.mu), want, rtol=2e-3, atol=2e-4)

@@ -112,9 +112,14 @@ def import_resnet_trunk(sd, conv1_prefix: str, resnet_prefix: str,
              conv_kernel(sd[f"{blk}.downsample.0.weight"]))
 
 
-def import_attention_block(sd, tree: dict, dst, n_heads: int = 8):
+def import_attention_block(sd, tree: dict, dst, n_heads: int = 8,
+                           favor_tree: Optional[dict] = None):
     """Per-head AttnLinear lists -> stacked [in, H*d] dense kernels
-    (networks/ANP.py:56-68 -> MultiheadFavorCrossAttention W_k/W_v/W_q/W_out)."""
+    (networks/ANP.py:56-68 -> MultiheadFavorCrossAttention W_k/W_v/W_q/W_out).
+
+    When the state_dict carries the FAVOR projection buffer
+    (attn.projection_matrix) and ``favor_tree`` is given, it is imported so
+    converted models reproduce the torch attention outputs exactly."""
     dst = _tup(dst)
     for torch_name, ours in [("_W_k", "W_k"), ("_W_v", "W_v"), ("_W_q", "W_q")]:
         ws = [linear_kernel(sd[f"{torch_name}.{i}.linear.weight"])
@@ -122,7 +127,19 @@ def import_attention_block(sd, tree: dict, dst, n_heads: int = 8):
         bs = [sd[f"{torch_name}.{i}.linear.bias"] for i in range(n_heads)]
         _set(tree, dst + (ours, "kernel"), np.concatenate(ws, axis=1))
         _set(tree, dst + (ours, "bias"), np.concatenate(bs, axis=0))
-    import_dense(sd, "_W.linear", tree, dst + ("W_out",))
+    # reference flattens heads DIM-major (outs.permute(0,2,3,1).view,
+    # networks/ANP.py:95-96: input index = dim*H + head); this framework
+    # concatenates HEAD-major (head*d + dim) -> permute W's input axis
+    w = sd["_W.linear.weight"]                       # [out, H*d] dim-major
+    d_out = w.shape[0]
+    d = w.shape[1] // n_heads
+    w_head_major = w.reshape(d_out, d, n_heads).transpose(0, 2, 1).reshape(
+        d_out, n_heads * d)
+    _set(tree, dst + ("W_out", "kernel"), linear_kernel(w_head_major))
+    _set(tree, dst + ("W_out", "bias"), sd["_W.linear.bias"])
+    if favor_tree is not None and "attn.projection_matrix" in sd:
+        _set(favor_tree, dst + ("favor", "projection"),
+             np.asarray(sd["attn.projection_matrix"], np.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +149,9 @@ def import_attention_block(sd, tree: dict, dst, n_heads: int = 8):
 def import_small_cnp(sd: Dict[str, np.ndarray], n_hidden: int = 2,
                      agg_mode: str = "max") -> dict:
     """CNPShapeNet1D / CNPVanillaPascal1D (+ANP variants) state_dict ->
-    SmallCNP params tree."""
+    SmallCNP variables ({"params": ..., ["favor": ...]})."""
     tree: dict = {}
+    favor: dict = {}
     import_literature_encoder(sd, "encoder_w0", tree, "encoder_w0")
     import_dense(sd, "transform_y", tree, ("transform_y", "Dense_0"))
     import_encoder_fc(sd, "encoder_r.layers", tree, "encoder_r", n_hidden)
@@ -144,15 +162,20 @@ def import_small_cnp(sd: Dict[str, np.ndarray], n_hidden: int = 2,
         import_dense(sd, "rs_to_mu", tree, ("rs_to_mu", "Dense_0"))
         import_dense(sd, "rs_to_var", tree, ("rs_to_var", "Dense_0"))
     if agg_mode == "attention":
-        import_attention_block(sd, tree, "cross_attn")
-    return tree
+        import_attention_block(sd, tree, "cross_attn", favor_tree=favor)
+    out = {"params": tree}
+    if favor:
+        out["favor"] = favor
+    return out
 
 
 def import_large_cnp(sd: Dict[str, np.ndarray], agg_mode: str = "max",
                      img_hw: int = 64, img_agg: str = "reshape",
                      label_embed: bool = False) -> dict:
-    """CondNeuralProcess / ANP / CNPDistractor (+ANPDistractor) -> LargeCNP."""
+    """CondNeuralProcess / ANP / CNPDistractor (+ANPDistractor) -> LargeCNP
+    variables ({"params": ..., ["favor": ...]})."""
     tree: dict = {}
+    favor: dict = {}
     import_resnet_trunk(sd, "img_encoder.conv1", "img_encoder.resnet", tree,
                         "img_encoder")
     if label_embed:
@@ -164,7 +187,7 @@ def import_large_cnp(sd: Dict[str, np.ndarray], agg_mode: str = "max",
         import_dense(sd, "latent_mu", tree, ("latent_mu", "Dense_0"))
         import_dense(sd, "latent_var", tree, ("latent_var", "Dense_0"))
     if agg_mode == "attention":
-        import_attention_block(sd, tree, "cross_attn")
+        import_attention_block(sd, tree, "cross_attn", favor_tree=favor)
     # NPDecoder: trunk + fc_mu head; trunk output is flattened (C, h, w) in
     # torch vs (h, w, C) here -> permute fc_mu.0's first trunk_dim inputs
     import_resnet_trunk(sd, "decoder.conv1", "decoder.resnet", tree,
@@ -189,7 +212,10 @@ def import_large_cnp(sd: Dict[str, np.ndarray], agg_mode: str = "max",
          sd["decoder.fc_mu.0.bias"])
     for i, p in enumerate(["decoder.fc_mu.2", "decoder.fc_mu.4"], start=1):
         import_dense(sd, p, tree, ("decoder", "fc_mu", f"Dense_{i}", "Dense_0"))
-    return tree
+    out = {"params": tree}
+    if favor:
+        out["favor"] = favor
+    return out
 
 
 MODEL_IMPORTERS = {
