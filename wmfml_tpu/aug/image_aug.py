@@ -26,7 +26,6 @@ construction; tests assert distributional properties instead.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, List
 
 import jax

@@ -19,7 +19,6 @@ import logging
 import os
 from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

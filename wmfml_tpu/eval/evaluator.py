@@ -25,8 +25,7 @@ from wmfml_tpu.losses import LossFunc
 from wmfml_tpu.obs import MetricsWriter, check_finite
 from wmfml_tpu.parallel.mesh import MeshContext
 from wmfml_tpu.train.state import TrainState, build_optimizer
-from wmfml_tpu.train.steps import (build_eval_step, build_train_step,
-                                   init_model, make_forward)
+from wmfml_tpu.train.steps import build_eval_step, init_model, make_forward
 
 
 class ModelEvaluator:

@@ -21,7 +21,6 @@ projection (`networks/ANP.py:56-98`).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional
 
 import flax.linen as nn

@@ -14,7 +14,6 @@ Layers return (output, kl); containers thread and sum the KLs explicitly
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import flax.linen as nn

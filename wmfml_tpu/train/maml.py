@@ -19,8 +19,6 @@ are mask-aware, so variable train-time shot compiles once.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -28,7 +26,6 @@ from flax import traverse_util
 
 from wmfml_tpu.aug.pipeline import build_episode_processor
 from wmfml_tpu.losses import LossFunc
-from wmfml_tpu.parallel.mesh import MeshContext
 from wmfml_tpu.train.trainer import ModelTrainer
 
 

@@ -11,7 +11,6 @@ Loss composition mirrors trainer/model_trainer.py:72-81:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
