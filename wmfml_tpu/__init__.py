@@ -17,3 +17,21 @@ Design pillars (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def build_model(config):
+    from wmfml_tpu.models.registry import build_model as _b
+
+    return _b(config)
+
+
+def build_data(config, mode: str = "train"):
+    from wmfml_tpu.data.factory import build_data as _b
+
+    return _b(config, mode=mode)
+
+
+def load_config(path: str, overrides=None, make_dirs: bool = False):
+    from wmfml_tpu.configs import Config
+
+    return Config(path, overrides=overrides, make_dirs=make_dirs)
