@@ -57,3 +57,43 @@ def test_meta_models_forward():
     v = mlp.init({"params": jax.random.PRNGKey(1)}, x)
     out, kl = mlp.apply(v, x)
     assert out.shape == (4, 3)
+
+
+def test_device_data_fused_step_dp_consistency():
+    """Flagship path: on-device sampling + fused steps, 1 vs 8 devices."""
+    import os
+
+    from wmfml_tpu.data.device_sampler import from_dataset
+    from wmfml_tpu.data.shapenet_1d import ShapeNet1D
+    from wmfml_tpu.data.synthetic import ensure_dataset
+    from wmfml_tpu.train.steps import build_device_data_train_step
+
+    root = ensure_dataset(
+        "shapenet_1d", os.path.join(os.path.dirname(__file__), "..",
+                                    "data_synth"))
+    cfg = make_cfg(method="CNPShapeNet1D", task="shapenet_1d", agg_mode="max",
+                   aug_list=["task_aug"], tasks_per_batch=8, donate=False,
+                   data_size="small", steps_per_call=2)
+    data = ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
+                      max_ctx=cfg.max_ctx_num, query_num=cfg.query_num)
+    sampler = from_dataset(data, cfg)
+    assert sampler is not None
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+    key = jax.random.PRNGKey(7)
+    variables = init_model(model, cfg, key)
+
+    results = []
+    for devs in (jax.devices()[:1], jax.devices()):
+        mesh = MeshContext.create(devices=devs)
+        state = jax.device_put(TrainState.create(variables, tx),
+                               mesh.replicated)
+        step = build_device_data_train_step(model, cfg, sampler, mesh, tx, 2)
+        state, metrics = step(state, key)
+        results.append((float(metrics["loss"]), state.params))
+
+    assert abs(results[0][0] - results[1][0]) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(results[0][1]),
+                    jax.tree_util.tree_leaves(results[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
