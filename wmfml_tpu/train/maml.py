@@ -43,9 +43,11 @@ def merge_params(adapt, frozen):
 def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
     """Return outer(params, batch, key) -> (outer_loss, pre_loss)."""
     loss_func = LossFunc(config.loss_type, config.task)
+    compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                     else jnp.float32)
     process = build_episode_processor(
         config.task, config.aug_list if train else [], train=train,
-        compute_dtype=jnp.float32,
+        compute_dtype=compute_dtype,
         azimuth_only="azimuth_only" in config.aug_list)
     adaptable_fn = model.adaptable_param_filter()
     update_lr = float(config.update_lr)

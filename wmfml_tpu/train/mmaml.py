@@ -43,9 +43,11 @@ class MMAMLBundle(NamedTuple):
 def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
                       train: bool, test: bool):
     loss_func = LossFunc(config.loss_type, config.task)
+    compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                     else jnp.float32)
     process = build_episode_processor(
         config.task, config.aug_list if train else [], train=train,
-        compute_dtype=jnp.float32,
+        compute_dtype=compute_dtype,
         azimuth_only="azimuth_only" in config.aug_list)
     fast_lr = float(config.update_lr)
     first_order = bool(config.first_order)
