@@ -46,14 +46,26 @@ class Pascal1D(BaseData):
         if source == "validation":
             self.val_rng = np.random.RandomState(seed)
 
+    def _split(self, source: str):
+        if source == "train":
+            return self.x_train, self.y_train, self.train_rng
+        if source == "validation":
+            return self.x_val, self.y_val, self.val_rng
+        raise TypeError("pascal_1d has no test split")
+
+    def get_batch_indices(self, source: str, tasks_per_batch: int, shot: int):
+        """Index-only episode draw (device-resident gathering)."""
+        x, y, rng = self._split(source)
+        query = self.query_num
+        cls_idx = rng.randint(0, x.shape[0], size=tasks_per_batch)
+        take = np.stack([rng.choice(x.shape[1], size=shot + query,
+                                    replace=False)
+                         for _ in range(tasks_per_batch)])
+        return cls_idx, take, shot
+
     def get_batch(self, source: str, tasks_per_batch: int,
                   shot: int) -> EpisodeBatch:
-        if source == "train":
-            x, y, rng = self.x_train, self.y_train, self.train_rng
-        elif source == "validation":
-            x, y, rng = self.x_val, self.y_val, self.val_rng
-        else:
-            raise TypeError("pascal_1d has no test split")
+        x, y, rng = self._split(source)
         query = self.query_num
         n_cls, n_inst = x.shape[0], x.shape[1]
 

@@ -73,6 +73,23 @@ class ShapeNet1D(BaseData):
             return self.x_test, self.y_test, self.test_rng
         raise TypeError("no valid dataset type split!")
 
+    def get_batch_indices(self, source: str, tasks_per_batch: int, shot: int):
+        """Index-only episode draw (for device-resident gathering).
+
+        Returns (cls [T], take [T, shot+query], shot) using the same RNG
+        stream semantics as get_batch.
+        """
+        x, y, rng = self._split(source)
+        shot_max = shot
+        if source == "train":
+            shot = int(rng.randint(3, shot_max + 1))
+        query = self.query_num
+        n_cls, n_inst = x.shape[0], x.shape[1]
+        cls_idx = rng.randint(0, n_cls, size=tasks_per_batch)
+        take = np.stack([rng.choice(n_inst, size=shot + query, replace=False)
+                         for _ in range(tasks_per_batch)])
+        return cls_idx, take, shot
+
     def get_batch(self, source: str, tasks_per_batch: int,
                   shot: int) -> EpisodeBatch:
         x, y, rng = self._split(source)

@@ -96,6 +96,30 @@ class ShapeNet3DData(BaseData):
         return {"train": self.train_rng, "validation": self.val_rng,
                 "test": self.test_rng}[source]
 
+    def get_batch_indices(self, source: str, tasks_per_batch: int, shot: int):
+        """Index-only episode draw (device-resident gathering)."""
+        items, perm, shot = self._draw(source, tasks_per_batch, shot)
+        return items, perm[:, :shot + self.query_num], shot
+
+    def _draw(self, source: str, tasks_per_batch: int, shot: int):
+        split = self.splits[source]
+        rng = self._rng(source)
+        if source == "train":
+            shot = int(rng.randint(1, shot + 1))
+        v = self.instances_per_item
+        items = np.empty(tasks_per_batch, np.int64)
+        perm = np.empty((tasks_per_batch, v), np.int64)
+        for t in range(tasks_per_batch):
+            if source == "train":
+                items[t] = rng.randint(split["n_items"])
+            else:
+                if self.counters[source] >= split["n_items"]:
+                    self.counters[source] = 0
+                items[t] = self.perms[source][self.counters[source]]
+                self.counters[source] += 1
+            perm[t] = rng.permutation(v)
+        return items, perm, shot
+
     def get_batch(self, source: str, tasks_per_batch: int,
                   shot: int) -> EpisodeBatch:
         split = self.splits[source]

@@ -105,6 +105,30 @@ class ShapeNetDistractor(BaseData):
         return {"train": self.train_rng, "validation": self.val_rng,
                 "test": self.test_rng}[source]
 
+    def get_batch_indices(self, source: str, tasks_per_batch: int, shot: int):
+        """Index-only episode draw (device-resident gathering); same RNG
+        stream as get_batch."""
+        split = self.splits[source]
+        rng = self._rng(source)
+        if source == "train":
+            shot = int(rng.randint(1, shot + 1))
+        v = self.instances_per_item
+        if source == "test":
+            perm_items = rng.permutation(split["n_items"])
+            self.counters["test"] = 0
+        items = np.empty(tasks_per_batch, np.int64)
+        perm = np.empty((tasks_per_batch, v), np.int64)
+        for t in range(tasks_per_batch):
+            if source == "test":
+                if self.counters["test"] >= split["n_items"]:
+                    self.counters["test"] = 0
+                items[t] = perm_items[self.counters["test"]]
+                self.counters["test"] += 1
+            else:
+                items[t] = rng.randint(split["n_items"])
+            perm[t] = rng.permutation(v)
+        return items, perm[:, :shot + self.query_num], shot
+
     def get_batch(self, source: str, tasks_per_batch: int,
                   shot: int) -> EpisodeBatch:
         split = self.splits[source]

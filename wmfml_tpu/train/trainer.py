@@ -125,6 +125,7 @@ class ModelTrainer:
             self.logger.info(
                 f"train split resident in HBM; on-device episode sampling, "
                 f"{self.steps_per_call} step(s) per dispatch")
+            self._setup_device_eval()
         elif self.steps_per_call > 1:
             from wmfml_tpu.train.steps import build_multi_train_step
 
@@ -221,19 +222,59 @@ class ModelTrainer:
                 f"Loss is NaN or Inf at iteration {step_idx}: {loss}")
         return loss
 
+    def _setup_device_eval(self):
+        """Device-resident val/test splits + one-dispatch eval sweeps."""
+        self._device_eval = {}
+        if not hasattr(self.data, "get_batch_indices"):
+            return
+        from wmfml_tpu.data.device_eval import (build_device_eval_sweep,
+                                                split_from_dataset)
+
+        sources = ["validation"] + ([] if self.config.task == "pascal_1d"
+                                    else ["test"])
+        for source in sources:
+            split = split_from_dataset(self.data, self.config, source)
+            if split is not None:
+                self._device_eval[source] = build_device_eval_sweep(
+                    self.model, self.config, split, self.mesh)
+        if self._device_eval:
+            self.logger.info(
+                f"eval splits resident in HBM: {sorted(self._device_eval)}")
+
+    def _device_validate(self, source: str) -> list:
+        """Host generates deterministic indices; one dispatch evaluates all."""
+        cfg = self.config
+        self.data.reset_eval(source, seed=42)
+        cls, ctx_i, qry_i = [], [], []
+        s = cfg.max_ctx_num
+        for _ in range(cfg.val_iters):
+            groups, take, shot = self.data.get_batch_indices(
+                source, cfg.tasks_per_batch, s)
+            assert shot == s, "eval shot must be the requested ctx count"
+            cls.append(groups)
+            ctx_i.append(take[:, :s])
+            qry_i.append(take[:, s:s + cfg.query_num])
+        key = jax.random.fold_in(self.base_key, 10_000_000)
+        losses = self._device_eval[source](
+            self.state, np.stack(cls), np.stack(ctx_i), np.stack(qry_i), key)
+        return list(np.asarray(jax.device_get(losses)))
+
     # ------------------------------------------------------------------
 
     def validate(self, it: int, source: str) -> float:
         """One deterministic eval sweep (trainer/model_trainer.py:95-139)."""
         cfg = self.config
-        self.data.reset_eval(source, seed=42)
-        losses = []
-        for v in range(cfg.val_iters):
-            batch = self.mesh.put_batch(
-                self.data.get_batch(source, cfg.tasks_per_batch,
-                                    cfg.max_ctx_num))
-            key = jax.random.fold_in(self.base_key, 10_000_000 + v)
-            losses.append(self.eval_step(self.state, batch, key))
+        if source in getattr(self, "_device_eval", {}):
+            losses = self._device_validate(source)
+        else:
+            self.data.reset_eval(source, seed=42)
+            losses = []
+            for v in range(cfg.val_iters):
+                batch = self.mesh.put_batch(
+                    self.data.get_batch(source, cfg.tasks_per_batch,
+                                        cfg.max_ctx_num))
+                key = jax.random.fold_in(self.base_key, 10_000_000 + v)
+                losses.append(self.eval_step(self.state, batch, key))
         loss = float(np.mean(jax.device_get(losses)))
         self.writer.add_scalar(f"Loss/{source}", loss, it)
         self.logger.info(f"[{source}] iteration {it}: loss {loss:.4f}")
