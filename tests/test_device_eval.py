@@ -25,6 +25,7 @@ def test_device_validate_matches_host(tmp_path):
     data = ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
                       max_ctx=cfg.max_ctx_num, query_num=cfg.query_num)
     trainer = ModelTrainer(build_model(cfg), cfg, data)
+    trainer._setup_device_eval()  # lazy in train(); force for the test
     assert "validation" in trainer._device_eval  # device path active
 
     # device-resident sweep

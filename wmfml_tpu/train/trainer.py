@@ -125,7 +125,10 @@ class ModelTrainer:
             self.logger.info(
                 f"train split resident in HBM; on-device episode sampling, "
                 f"{self.steps_per_call} step(s) per dispatch")
-            self._setup_device_eval()
+            # eval splits upload lazily at first validate(): for ShapeNet3D
+            # the pre-train gen_bg recomposites backgrounds AFTER __init__,
+            # and the device copy must match the host arrays
+            self._want_device_eval = True
         elif self.steps_per_call > 1:
             from wmfml_tpu.train.steps import build_multi_train_step
 
@@ -264,6 +267,9 @@ class ModelTrainer:
     def validate(self, it: int, source: str) -> float:
         """One deterministic eval sweep (trainer/model_trainer.py:95-139)."""
         cfg = self.config
+        if getattr(self, "_want_device_eval", False) and not hasattr(
+                self, "_device_eval"):
+            self._setup_device_eval()
         if source in getattr(self, "_device_eval", {}):
             losses = self._device_validate(source)
         else:
