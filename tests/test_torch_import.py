@@ -254,3 +254,96 @@ def test_anp_small_forward_fidelity_with_projection():
         np.transpose(qry_x, (0, 1, 3, 4, 2)),
         ctx_mask=np.ones((2, 3), bool))
     np.testing.assert_allclose(np.asarray(got.mu), want, rtol=2e-3, atol=2e-4)
+
+
+class TorchBBBConv(tnn.Module):
+    def __init__(self, cin, cout, k, stride, pad):
+        super().__init__()
+        self.W_mu = tnn.Parameter(torch.randn(cout, cin, k, k) * 0.1)
+        self.W_rho = tnn.Parameter(torch.full((cout, cin, k, k), -30.0))
+        self.bias_mu = tnn.Parameter(torch.randn(cout) * 0.1)
+        self.bias_rho = tnn.Parameter(torch.full((cout,), -30.0))
+        self.stride, self.pad = stride, pad
+
+    def forward(self, x):
+        # sigma = softplus(-30) ~ 0 -> the mean path; lets fidelity be
+        # compared across frameworks despite independent noise streams
+        return tF.conv2d(x, self.W_mu, self.bias_mu, self.stride, self.pad)
+
+
+class TorchBBBLinear(tnn.Module):
+    def __init__(self, fin, fout):
+        super().__init__()
+        self.W_mu = tnn.Parameter(torch.randn(fout, fin) * 0.1)
+        self.W_rho = tnn.Parameter(torch.full((fout, fin), -30.0))
+        self.bias_mu = tnn.Parameter(torch.randn(fout) * 0.1)
+        self.bias_rho = tnn.Parameter(torch.full((fout,), -30.0))
+
+    def forward(self, x):
+        return tF.linear(x, self.W_mu, self.bias_mu)
+
+
+class TorchSmallMR(TorchSmallCNP):
+    """Reference CNPMRShapeNet1D: BBB encoder trunk (sigma pinned ~0)."""
+
+    def __init__(self):
+        super().__init__(dim_w=64, dim_r=100)
+        del self.encoder_w0
+        enc = tnn.Module()
+        enc.net = tnn.Module()
+        for name, (cin, cout) in [("layer1", (1, 32)), ("layer2", (32, 48)),
+                                  ("layer3", (48, 64))]:
+            blk = tnn.Module()
+            blk.conv = TorchBBBConv(cin, cout, 3, 2, 1)
+            setattr(enc.net, name, blk)
+        enc.net.linear = TorchBBBLinear(4096, 64)
+        self.encoder_w0 = enc
+
+    def _encode(self, x):
+        n = enc_in = x
+        e = self.encoder_w0.net
+        n = tF.relu(e.layer1.conv(n))
+        n = tF.relu(e.layer2.conv(n))
+        n = tF.max_pool2d(n, 2)
+        n = tF.relu(e.layer3.conv(n))
+        n = n.flatten(1)
+        return e.linear(n)
+
+    def forward(self, ctx_x, ctx_y, qry_x):
+        t, s = ctx_x.shape[:2]
+        q = qry_x.shape[1]
+        x_ctx = self._encode(ctx_x.reshape(t * s, *ctx_x.shape[2:]))
+        x_ctx = x_ctx.reshape(t, s, self.dim_w)
+        rs = self.encoder_r.layers(
+            torch.cat([x_ctx, self.transform_y(ctx_y)], -1))
+        r = torch.max(rs, dim=1)[0]
+        z = self.r_to_z(r)[:, None, :].repeat(1, q, 1)
+        x_qry = self._encode(qry_x.reshape(t * q, *qry_x.shape[2:]))
+        x_qry = x_qry.reshape(t, q, self.dim_w)
+        return self.decoder0(torch.cat([x_qry, z], -1))
+
+
+def test_mr_forward_fidelity_mean_path():
+    torch.manual_seed(1)
+    tmodel = TorchSmallMR().eval()
+    ctx_x = rng.rand(2, 3, 1, 128, 128).astype(np.float32)
+    ctx_y = rng.rand(2, 3, 3).astype(np.float32)
+    qry_x = rng.rand(2, 2, 1, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(ctx_x), torch.from_numpy(ctx_y),
+                      torch.from_numpy(qry_x)).numpy()
+
+    variables = import_torch_checkpoint(
+        "CNPMRShapeNet1D", state_dict_to_numpy(tmodel.state_dict()))
+    model = SmallCNP(dim_w=64, dim_r=100, dim_z=64, y_dim=2, agg_mode="max",
+                     bbb_encoder=True)
+    got = model.apply(
+        variables,
+        np.transpose(ctx_x, (0, 1, 3, 4, 2)), ctx_y,
+        np.transpose(qry_x, (0, 1, 3, 4, 2)),
+        ctx_mask=np.ones((2, 3), bool),
+        rngs={"bbb": jax.random.PRNGKey(0)})
+    # sigma ~ softplus(-30) ~ 1e-13: sampling noise is negligible on both
+    # sides, so the mean paths must agree
+    np.testing.assert_allclose(np.asarray(got.mu), want, rtol=1e-4, atol=1e-5)
+    assert float(got.kl) > 0.0

@@ -142,6 +142,42 @@ def import_attention_block(sd, tree: dict, dst, n_heads: int = 8,
              np.asarray(sd["attn.projection_matrix"], np.float32))
 
 
+def import_bbb_conv(sd, prefix: str, tree: dict, dst):
+    """BBBConv2d posterior params (networks/bbb/BBBConv.py): OIHW -> HWIO."""
+    dst = _tup(dst)
+    for p in ("W_mu", "W_rho"):
+        _set(tree, dst + (p,), conv_kernel(sd[f"{prefix}.{p}"]))
+    for p in ("bias_mu", "bias_rho"):
+        if f"{prefix}.{p}" in sd:
+            _set(tree, dst + (p,), sd[f"{prefix}.{p}"])
+
+
+def import_bbb_linear(sd, prefix: str, tree: dict, dst,
+                      flatten_chw: Optional[Tuple[int, int, int]] = None):
+    """BBBLinear posterior params; optional CHW->HWC flatten permutation."""
+    dst = _tup(dst)
+    for p in ("W_mu", "W_rho"):
+        w = sd[f"{prefix}.{p}"]
+        _set(tree, dst + (p,),
+             linear_after_flatten(w, flatten_chw) if flatten_chw
+             else linear_kernel(w))
+    for p in ("bias_mu", "bias_rho"):
+        if f"{prefix}.{p}" in sd:
+            _set(tree, dst + (p,), sd[f"{prefix}.{p}"])
+
+
+def import_bbb_literature_encoder(sd, prefix: str, tree: dict, dst,
+                                  flatten_chw=(64, 8, 8)):
+    """BBBEncoder (networks/CNPMR.py:39-52): torch Sequential keys
+    net.layer1/2/3.conv (BBB convs) + net.linear (BBBLinear)."""
+    dst = _tup(dst)
+    for layer, name in [("layer1", "conv0"), ("layer2", "conv1"),
+                        ("layer3", "conv2")]:
+        import_bbb_conv(sd, f"{prefix}.net.{layer}.conv", tree, dst + (name,))
+    import_bbb_linear(sd, f"{prefix}.net.linear", tree, dst + ("fc",),
+                      flatten_chw=flatten_chw)
+
+
 # ---------------------------------------------------------------------------
 # model-level importers
 # ---------------------------------------------------------------------------
@@ -218,7 +254,34 @@ def import_large_cnp(sd: Dict[str, np.ndarray], agg_mode: str = "max",
     return out
 
 
+def import_small_mr(sd: Dict[str, np.ndarray], n_hidden: int = 2,
+                    agg_mode: str = "max") -> dict:
+    """CNPMR / CNPMRShapeNet1D (+ANPMR variants): SmallCNP(bbb_encoder=True)."""
+    tree: dict = {}
+    favor: dict = {}
+    import_bbb_literature_encoder(sd, "encoder_w0", tree, "encoder_w0")
+    import_dense(sd, "transform_y", tree, ("transform_y", "Dense_0"))
+    import_encoder_fc(sd, "encoder_r.layers", tree, "encoder_r", n_hidden)
+    import_dense(sd, "r_to_z", tree, ("r_to_z", "Dense_0"))
+    import_mlp(sd, ["decoder0.0", "decoder0.2", "decoder0.4"], tree,
+               "decoder0")
+    if agg_mode == "baco":
+        import_dense(sd, "rs_to_mu", tree, ("rs_to_mu", "Dense_0"))
+        import_dense(sd, "rs_to_var", tree, ("rs_to_var", "Dense_0"))
+    if agg_mode == "attention":
+        import_attention_block(sd, tree, "cross_attn", favor_tree=favor)
+    out = {"params": tree}
+    if favor:
+        out["favor"] = favor
+    return out
+
+
 MODEL_IMPORTERS = {
+    "CNPMR": import_small_mr,
+    "CNPMRShapeNet1D": import_small_mr,
+    "ANPMR": lambda sd, **kw: import_small_mr(sd, agg_mode="attention", **kw),
+    "ANPMRShapeNet1D": lambda sd, **kw: import_small_mr(
+        sd, agg_mode="attention", **kw),
     "CNPShapeNet1D": import_small_cnp,
     "ANPShapeNet1D": lambda sd, **kw: import_small_cnp(
         sd, agg_mode="attention", **kw),
