@@ -87,3 +87,25 @@ def test_augmenter_preserves_shape_and_range():
     # different keys -> different augmentations
     out2 = np.asarray(aug(jax.random.PRNGKey(5), imgs))
     assert not np.allclose(out, out2)
+
+
+def test_geometric_composes_two_warps():
+    """Composed warp == sequential warps when no fill pixels interact."""
+    from wmfml_tpu.aug.image_aug import geometric
+
+    # smooth image (white noise decorrelates under any resampling)
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    img = jnp.asarray((np.sin(4 * yy) * np.cos(3 * xx) * 0.5 + 0.5)[..., None],
+                      jnp.float32)
+    # zoom-in params (scale > 1): no constant fill is sampled by either stage
+    s1, sxy, txy = 1.25, (1.1, 1.15), (1.5, -2.0)
+    seq = _affine_warp(_affine_warp(img, (s1, s1), (0.0, 0.0), 0.5),
+                       sxy, txy, 0.5)
+    comp = _affine_warp(img, (s1 * sxy[0], s1 * sxy[1]), txy, 0.5)
+    # double resampling blurs slightly; compare against a generous tol and
+    # verify the composed warp is geometrically aligned (high correlation)
+    a, b = np.asarray(seq).ravel(), np.asarray(comp).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+    # the op itself runs and gates correctly
+    out = geometric(jax.random.PRNGKey(0), img)
+    assert out.shape == img.shape and np.isfinite(np.asarray(out)).all()

@@ -143,6 +143,39 @@ def one_of_dropout(key, img):
     return jnp.where(pick, dropout(kd, img), coarse_dropout(kd, img))
 
 
+def geometric(key, img, scale=(0.8, 1.2), translate=0.1, p: float = 0.5):
+    """Fused CropAndPad + Affine: one warp with composed parameters.
+
+    The reference applies Sometimes(0.5) CropAndPad then Sometimes(0.5)
+    Affine — two sequential resampling passes. Scale/translate affines
+    compose in closed form (warp2(warp1(x)) == warp(scale1*scale2,
+    t2 + s2*t1)), so one warp produces the same geometry with half the
+    resampling cost (and one interpolation instead of two — slightly
+    sharper output than imgaug's double-resample; fill colors of the two
+    stages collapse into one random cval). Each stage keeps its own
+    Sometimes gate by collapsing to identity parameters.
+    """
+    k1, k2, ks, kt, kp_, kc = jax.random.split(key, 6)
+    h, w, _ = img.shape
+    # stage 1: crop_and_pad — scale s1 = 1/(1+2p), p ~ U[0, .05]
+    pad = jax.random.uniform(kp_, (), minval=0.0, maxval=0.05)
+    s1 = 1.0 / (1.0 + 2.0 * pad)
+    g1 = jax.random.bernoulli(k1, p)
+    s1 = jnp.where(g1, s1, 1.0)
+    # stage 2: affine — per-axis scale + translate
+    sxy = jax.random.uniform(ks, (2,), minval=scale[0], maxval=scale[1])
+    txy = (jax.random.uniform(kt, (2,), minval=-translate, maxval=translate)
+           * jnp.array([w, h], jnp.float32))
+    g2 = jax.random.bernoulli(k2, p)
+    sxy = jnp.where(g2, sxy, 1.0)
+    txy = jnp.where(g2, txy, 0.0)
+    # composition: total scale = s1*s2 (per axis), total translate = t2
+    # (stage-1 has no translation; its scaling happens before t2)
+    cval = jax.random.uniform(kc, ())
+    return _affine_warp(img, (s1 * sxy[0], s1 * sxy[1]), (txy[0], txy[1]),
+                        cval)
+
+
 def sometimes(op: Callable, p: float = 0.5) -> Callable:
     def wrapped(key, img):
         kg, ko = jax.random.split(key)
@@ -153,13 +186,19 @@ def sometimes(op: Callable, p: float = 0.5) -> Callable:
 
 
 # -- pipelines mirroring the reference's four Augmenters ----------------------
+# every entry handles its own Sometimes gate; the geometric entry fuses the
+# reference's CropAndPad + Affine stages into one composed warp
 
-FULL_OPS = [crop_and_pad, gamma_contrast, brightness, average_blur, affine,
-            one_of_dropout]                      # utils/augment.py:22-79
-PASCAL_OPS = [crop_and_pad, gamma_contrast, average_blur, affine,
-              one_of_dropout]                    # utils/augment.py:82-141 (no brightness)
-SHAPENET1D_OPS = [crop_and_pad, affine, one_of_dropout]   # dataset/shapenet_1d.py:34-71
-DISTRACTOR_OPS = [affine, one_of_dropout]        # dataset/shapenet_distractor.py:54-81
+_GAMMA = sometimes(gamma_contrast)
+_BRIGHT = sometimes(brightness)
+_BLUR = sometimes(average_blur)
+_DROP = sometimes(one_of_dropout)
+_AFFINE = sometimes(affine)
+
+FULL_OPS = [geometric, _GAMMA, _BRIGHT, _BLUR, _DROP]   # utils/augment.py:22-79
+PASCAL_OPS = [geometric, _GAMMA, _BLUR, _DROP]          # utils/augment.py:82-141 (no brightness)
+SHAPENET1D_OPS = [geometric, _DROP]                     # dataset/shapenet_1d.py:34-71
+DISTRACTOR_OPS = [_AFFINE, _DROP]                       # dataset/shapenet_distractor.py:54-81
 
 PIPELINES = {
     "shapenet_3d": FULL_OPS,
@@ -171,7 +210,8 @@ PIPELINES = {
 
 def build_augmenter(task: str, p: float = 0.5) -> Callable:
     """Return ``augment(key, images)`` for [..., H, W, C] image stacks."""
-    ops: List[Callable] = [sometimes(op, p) for op in PIPELINES[task]]
+    del p  # gates live inside the ops (geometric fuses two gated stages)
+    ops: List[Callable] = list(PIPELINES[task])
 
     def augment_one(key, img):
         keys = jax.random.split(key, len(ops))
