@@ -65,6 +65,11 @@ class ShapeNet3DData(BaseData):
             item_indices = np.asarray(d["item_indices"])
             q = np.asarray(d["Q"], np.float32)
             n_items = int(item_indices.max()) + 1
+            if images.shape[0] != n_items * num_instances_per_item:
+                raise ValueError(
+                    f"{split} split: expected {n_items} items x "
+                    f"{num_instances_per_item} views, got {images.shape[0]} "
+                    "instances — non-uniform view counts are unsupported")
             # dense [items, views, ...] gather tables for O(1) episode assembly
             order = np.argsort(item_indices, kind="stable")
             images = images[order].reshape(
