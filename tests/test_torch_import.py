@@ -347,3 +347,43 @@ def test_mr_forward_fidelity_mean_path():
     # sides, so the mean paths must agree
     np.testing.assert_allclose(np.asarray(got.mu), want, rtol=1e-4, atol=1e-5)
     assert float(got.kl) > 0.0
+
+
+class TorchSingleTaskSmall(tnn.Module):
+    """Reference SingleTaskShapeNet1D: prediction from query images alone."""
+
+    def __init__(self, dim_w=64, dim_r=100, dim_z=64, y_dim=2):
+        super().__init__()
+        self.dim_w = dim_w
+        base = TorchSmallCNP(dim_w=dim_w, dim_r=dim_r, dim_z=dim_z, y_dim=y_dim)
+        self.encoder_w0 = base.encoder_w0
+        self.encoder_r = tnn.Module()
+        self.encoder_r.layers = tnn.Sequential(
+            tnn.Linear(dim_w, 100), tnn.ReLU(),
+            tnn.Linear(100, 100), tnn.ReLU(), tnn.Linear(100, dim_r))
+        self.r_to_z = base.r_to_z
+        self.decoder0 = base.decoder0
+
+    def forward(self, qry_x):
+        t, q = qry_x.shape[:2]
+        x = self.encoder_w0(qry_x.reshape(t * q, *qry_x.shape[2:]))
+        x = x.reshape(t, q, self.dim_w)
+        r = self.encoder_r.layers(x)
+        z = self.r_to_z(r)
+        return self.decoder0(torch.cat([x, z], -1))
+
+
+def test_single_task_forward_fidelity():
+    from wmfml_tpu.models.single_task import SingleTaskSmall
+
+    torch.manual_seed(2)
+    tmodel = TorchSingleTaskSmall().eval()
+    qry_x = rng.rand(2, 3, 1, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(qry_x)).numpy()
+    variables = import_torch_checkpoint(
+        "SingleTaskShapeNet1D", state_dict_to_numpy(tmodel.state_dict()))
+    model = SingleTaskSmall(dim_w=64, dim_r=100, dim_z=64, y_dim=2)
+    got = model.apply(variables, None, None,
+                      np.transpose(qry_x, (0, 1, 3, 4, 2)))
+    np.testing.assert_allclose(np.asarray(got.mu), want, rtol=1e-4, atol=1e-5)

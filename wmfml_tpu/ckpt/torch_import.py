@@ -254,6 +254,20 @@ def import_large_cnp(sd: Dict[str, np.ndarray], agg_mode: str = "max",
     return out
 
 
+def import_single_task_small(sd: Dict[str, np.ndarray],
+                             n_hidden: int = 2) -> dict:
+    """SingleTaskShapeNet1D (networks/SingleTaskShapeNet1D.py:43-67):
+    literature encoder + EncoderFC(dim_w) + r_to_z + decoder — no label
+    embedding (context is ignored by design)."""
+    tree: dict = {}
+    import_literature_encoder(sd, "encoder_w0", tree, "encoder_w0")
+    import_encoder_fc(sd, "encoder_r.layers", tree, "encoder_r", n_hidden)
+    import_dense(sd, "r_to_z", tree, ("r_to_z", "Dense_0"))
+    import_mlp(sd, ["decoder0.0", "decoder0.2", "decoder0.4"], tree,
+               "decoder0")
+    return {"params": tree}
+
+
 def import_small_mr(sd: Dict[str, np.ndarray], n_hidden: int = 2,
                     agg_mode: str = "max") -> dict:
     """CNPMR / CNPMRShapeNet1D (+ANPMR variants): SmallCNP(bbb_encoder=True)."""
@@ -288,7 +302,7 @@ MODEL_IMPORTERS = {
     "CNPVanillaPascal1D": import_small_cnp,
     "ANPVanillaPascal1D": lambda sd, **kw: import_small_cnp(
         sd, agg_mode="attention", **kw),
-    "SingleTaskShapeNet1D": import_small_cnp,  # subset of keys applies
+    "SingleTaskShapeNet1D": import_single_task_small,
     "CondNeuralProcess": import_large_cnp,
     "ANP": lambda sd, **kw: import_large_cnp(sd, agg_mode="attention", **kw),
     "CNPDistractor": lambda sd, **kw: import_large_cnp(
