@@ -387,3 +387,62 @@ def test_single_task_forward_fidelity():
     got = model.apply(variables, None, None,
                       np.transpose(qry_x, (0, 1, 3, 4, 2)))
     np.testing.assert_allclose(np.asarray(got.mu), want, rtol=1e-4, atol=1e-5)
+
+
+class TorchMAML(tnn.Module):
+    """Reference MAMLShapeNet1D: encoder -> 14x14 'image' -> 4 conv+BN blocks
+    (batch statistics) -> avgpool -> linear + tanh."""
+
+    def __init__(self, dim_w=196, hidden=16, y_dim=2):
+        super().__init__()
+        self.dim_w, self.hidden = dim_w, hidden
+        self.encoder_w = tnn.Module()
+        self.encoder_w.layer1 = tnn.Module()
+        self.encoder_w.layer1.conv = tnn.Conv2d(1, 32, 3, 2, 1)
+        self.encoder_w.layer2 = tnn.Module()
+        self.encoder_w.layer2.conv = tnn.Conv2d(32, 48, 3, 2, 1)
+        self.encoder_w.layer3 = tnn.Module()
+        self.encoder_w.layer3.conv = tnn.Conv2d(48, 64, 3, 2, 1)
+        self.encoder_w.linear = tnn.Linear(4096, dim_w)
+        self.features = tnn.Module()
+        cin = 1
+        for i in range(1, 5):
+            blk = tnn.Module()
+            blk.conv = tnn.Conv2d(cin, hidden, 3, 1, 1)
+            blk.norm = tnn.BatchNorm2d(hidden, momentum=1,
+                                       track_running_stats=False)
+            setattr(self.features, f"layer{i}", blk)
+            cin = hidden
+        self.regressor = tnn.Module()
+        self.regressor.regressor = tnn.Linear(hidden, y_dim)
+
+    def forward(self, x):
+        e = self.encoder_w
+        h = tF.relu(e.layer1.conv(x))
+        h = tF.relu(e.layer2.conv(h))
+        h = tF.max_pool2d(h, 2)
+        h = tF.relu(e.layer3.conv(h))
+        w = e.linear(h.flatten(1))
+        h = w.reshape(-1, 1, 14, 14)
+        for i in range(1, 5):
+            blk = getattr(self.features, f"layer{i}")
+            h = tF.relu(blk.norm(blk.conv(h)))
+        h = h.mean(dim=(2, 3))
+        return torch.tanh(self.regressor.regressor(h))
+
+
+def test_maml_forward_fidelity():
+    from wmfml_tpu.models.maml import MAMLRegressor
+
+    torch.manual_seed(3)
+    tmodel = TorchMAML().train()  # BN batch stats (track_running_stats=False)
+    x = rng.rand(6, 1, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    variables = import_torch_checkpoint(
+        "MAMLShapeNet1D", state_dict_to_numpy(tmodel.state_dict()))
+    model = MAMLRegressor(dim_w=196, dim_hidden=16, output_dim=2,
+                          tanh_out=True)
+    got, kl = model.apply(variables, np.transpose(x, (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    assert kl == 0.0

@@ -290,7 +290,38 @@ def import_small_mr(sd: Dict[str, np.ndarray], n_hidden: int = 2,
     return out
 
 
+def import_maml(sd: Dict[str, np.ndarray]) -> dict:
+    """MAMLShapeNet1D / VanillaMAML (networks/MAMLShapeNet1D.py:89-114) ->
+    MAMLRegressor params.
+
+    torchmeta MetaSequential keys: encoder_w.layer{1,2,3}.conv + encoder_w
+    .linear; features.layer{1..4}.{conv,norm}; regressor.regressor. The
+    dim_w -> 14x14x1 reshape boundary needs no permutation (C == 1)."""
+    tree: dict = {}
+    for layer, name in [("layer1", "conv0"), ("layer2", "conv1"),
+                        ("layer3", "conv2")]:
+        _set(tree, ("encoder_w", name, "kernel"),
+             conv_kernel(sd[f"encoder_w.{layer}.conv.weight"]))
+        _set(tree, ("encoder_w", name, "bias"),
+             sd[f"encoder_w.{layer}.conv.bias"])
+    import_dense(sd, "encoder_w.linear", tree,
+                 ("encoder_w", "fc", "Dense_0"), flatten_chw=(64, 8, 8))
+    for i in range(1, 5):
+        _set(tree, (f"features_{i}_conv", "kernel"),
+             conv_kernel(sd[f"features.layer{i}.conv.weight"]))
+        _set(tree, (f"features_{i}_conv", "bias"),
+             sd[f"features.layer{i}.conv.bias"])
+        _set(tree, (f"features_{i}_bn_scale",),
+             sd[f"features.layer{i}.norm.weight"])
+        _set(tree, (f"features_{i}_bn_bias",),
+             sd[f"features.layer{i}.norm.bias"])
+    import_dense(sd, "regressor.regressor", tree, ("regressor", "Dense_0"))
+    return {"params": tree}
+
+
 MODEL_IMPORTERS = {
+    "MAMLShapeNet1D": import_maml,
+    "VanillaMAML": import_maml,
     "CNPMR": import_small_mr,
     "CNPMRShapeNet1D": import_small_mr,
     "ANPMR": lambda sd, **kw: import_small_mr(sd, agg_mode="attention", **kw),
