@@ -446,3 +446,94 @@ def test_maml_forward_fidelity():
     got, kl = model.apply(variables, np.transpose(x, (0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
     assert kl == 0.0
+
+
+class TorchGatedConv(tnn.Module):
+    """Reference GatedConvModel (stride-2 branch, affine FiLM conditioning)."""
+
+    def __init__(self, ch=8, y_dim=2):
+        super().__init__()
+        self.ch = ch
+        self.features = tnn.Module()
+        cin = 1
+        for i, cout in enumerate([ch, ch * 2, ch * 4, ch * 8], start=1):
+            setattr(self.features, f"layer{i}_conv",
+                    tnn.Conv2d(cin, cout, 3, 2, 1))
+            setattr(self.features, f"layer{i}_bn",
+                    tnn.BatchNorm2d(cout, affine=False, momentum=0.001))
+            cin = cout
+        self.classifier = tnn.Module()
+        self.classifier.fully_connected = tnn.Linear(ch * 8, y_dim)
+
+    def forward(self, x, embeddings):
+        for i in range(1, 5):
+            x = getattr(self.features, f"layer{i}_conv")(x)
+            x = getattr(self.features, f"layer{i}_bn")(x)
+            e = embeddings[i - 1]
+            c = x.shape[1]
+            gam, bet = e[:c], e[c:]
+            x = x * (1 + gam)[None, :, None, None] + bet[None, :, None, None]
+            x = tF.relu(x)
+        x = x.mean(dim=(2, 3))
+        return torch.tanh(self.classifier.fully_connected(x))
+
+
+class TorchConvEmbedding(tnn.Module):
+    """Reference ConvEmbeddingModel (avgpool_after_conv, avg pooling)."""
+
+    def __init__(self, ch=8, hidden=16, dims=(16, 32, 64, 128)):
+        super().__init__()
+        self.conv = tnn.Module()
+        cin = 1
+        for i, cout in enumerate([ch, ch * 2, ch * 4, ch * 8], start=1):
+            setattr(self.conv, f"conv{i}", tnn.Conv2d(cin, cout, 3, 2, 1))
+            setattr(self.conv, f"bn{i}",
+                    tnn.BatchNorm2d(cout, momentum=0.001,
+                                    track_running_stats=False))
+            cin = cout
+        self.linear = tnn.Linear(ch * 8, hidden)
+        self._embeddings = tnn.ModuleList(
+            [tnn.Linear(hidden, d) for d in dims])
+
+    def forward(self, x):
+        for i in range(1, 5):
+            x = getattr(self.conv, f"conv{i}")(x)
+            x = getattr(self.conv, f"bn{i}")(x)
+            x = tF.relu(x)
+        x = x.mean(dim=(2, 3))
+        x = tF.relu(self.linear(x))
+        pooled = x.mean(dim=0)
+        return [m(pooled) for m in self._embeddings]
+
+
+def test_mmaml_forward_fidelity():
+    from wmfml_tpu.models.mmaml_nets import ConvEmbeddingNet, GatedConvNet
+
+    torch.manual_seed(4)
+    ch, hidden, dims = 8, 16, (16, 32, 64, 128)
+    t_gated = TorchGatedConv(ch=ch).train()
+    t_embed = TorchConvEmbedding(ch=ch, hidden=hidden, dims=dims).train()
+    x = rng.rand(5, 1, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        embs = t_embed(torch.from_numpy(x))
+        want = t_gated(torch.from_numpy(x), embs).numpy()
+
+    sd = {f"model.{k}": v for k, v in
+          state_dict_to_numpy(t_gated.state_dict()).items()}
+    sd.update({f"embedding_model.{k}": v for k, v in
+               state_dict_to_numpy(t_embed.state_dict()).items()})
+    bundle_vars = import_torch_checkpoint("MMAMLShapeNet1D", sd)
+
+    gated = GatedConvNet(output_dim=2, num_channels=ch,
+                         condition_type="affine", tanh_out=True)
+    embed = ConvEmbeddingNet(embedding_dims=dims, num_channels=ch,
+                             hidden_size=hidden, embedding_pooling="avg")
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    got_embs = embed.apply({"params": bundle_vars["params"]["embedding"]},
+                           x_nhwc)
+    for a, b in zip(got_embs, embs):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=2e-4,
+                                   atol=2e-5)
+    got = gated.apply({"params": bundle_vars["params"]["model"]}, x_nhwc,
+                      embeddings=got_embs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)

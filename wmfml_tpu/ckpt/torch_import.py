@@ -319,9 +319,42 @@ def import_maml(sd: Dict[str, np.ndarray]) -> dict:
     return {"params": tree}
 
 
+def import_mmaml(sd: Dict[str, np.ndarray], n_layers: int = 4) -> dict:
+    """MMAMLShapeNet1D: {model: GatedConvModel, embedding: ConvEmbeddingModel}
+    (networks/gated_conv_net.py / conv_embedding_model.py key layouts; the
+    reference saves a combined dict — pass its 'model_state_dict' with keys
+    prefixed 'model.' and 'embedding_model.' or the flat per-net dicts)."""
+    gated: dict = {}
+    for i in range(1, n_layers + 1):
+        _set(gated, (f"layer{i}_conv", "kernel"),
+             conv_kernel(sd[f"model.features.layer{i}_conv.weight"]))
+        _set(gated, (f"layer{i}_conv", "bias"),
+             sd[f"model.features.layer{i}_conv.bias"])
+        # layerN_bn is affine=False: no learnable params to import
+    import_dense(sd, "model.classifier.fully_connected", gated,
+                 ("classifier", "Dense_0"))
+
+    embed: dict = {}
+    for i in range(1, n_layers + 1):
+        _set(embed, (f"conv{i}", "kernel"),
+             conv_kernel(sd[f"embedding_model.conv.conv{i}.weight"]))
+        _set(embed, (f"conv{i}", "bias"),
+             sd[f"embedding_model.conv.conv{i}.bias"])
+        _set(embed, (f"bn{i}_scale",),
+             sd[f"embedding_model.conv.bn{i}.weight"])
+        _set(embed, (f"bn{i}_bias",),
+             sd[f"embedding_model.conv.bn{i}.bias"])
+    import_dense(sd, "embedding_model.linear", embed, ("linear", "Dense_0"))
+    for i in range(n_layers):
+        import_dense(sd, f"embedding_model._embeddings.{i}", embed,
+                     (f"embedding_{i}", "Dense_0"))
+    return {"params": {"model": gated, "embedding": embed}}
+
+
 MODEL_IMPORTERS = {
     "MAMLShapeNet1D": import_maml,
     "VanillaMAML": import_maml,
+    "MMAMLShapeNet1D": import_mmaml,
     "CNPMR": import_small_mr,
     "CNPMRShapeNet1D": import_small_mr,
     "ANPMR": lambda sd, **kw: import_small_mr(sd, agg_mode="attention", **kw),
