@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Headline benchmark: meta-train task throughput (tasks/sec/chip).
+"""Benchmark: meta-train task throughput + MFU, per workload family.
 
-Workload: the flagship ANP ShapeNet1D configuration (FAVOR+ cross-attention
-+ DA + TA — BASELINE.json configs[1]) at the reference's production batch
-(tasks_per_batch=10, max_ctx=15, 128x128 images). TRUE end-to-end training:
-the split is device-resident, episodes are sampled on device (XLA gathers
-from PRNG keys), augmentation + forward + backward + Adam update all run in
-fused 16-step dispatches. Timing forces a host fetch of the final loss —
-on this platform ``block_until_ready`` returns before remote execution
-completes, so fetch-based timing is the only honest clock.
+Headline metric (the one JSON line's value): ANP ShapeNet1D meta-training
+tasks/sec/chip — the flagship configuration (FAVOR+ cross-attention + DA +
+TA, reference production batch: tasks_per_batch=10, ctx 15, 128x128). TRUE
+end-to-end training: device-resident split, on-device episode sampling +
+augmentation + forward + backward + Adam in fused multi-step dispatches.
+
+Also measured (carried in the "extra" field, written to RESULTS.md by
+scripts/gen_results.py): ANP ShapeNet3D (online backgrounds), MAML and MMAML
+ShapeNet1D (5 inner steps, second order). Per workload we report
+model FLOPs/step from XLA's own cost analysis of the compiled program,
+achieved FLOP/s, and MFU against the chip's bf16 peak.
+
+Timing forces a host fetch of the final loss — on this platform
+``block_until_ready`` returns before remote execution completes, so a fetch
+is the only honest clock (RESULTS.md "Measurement integrity").
 
 vs_baseline: the reference publishes no numbers (BASELINE.md). We use a
 generous estimate of its single-GPU loop: ~10 iters/s x 10 tasks = 100
@@ -19,24 +26,24 @@ north-star target is >= 10x => vs_baseline >= 10.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 REFERENCE_TASKS_PER_SEC = 100.0
 
+# dense bf16 peak FLOP/s per chip (public spec sheets)
+PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
 
-def main():
-    import jax
 
+def chip_peak() -> float:
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    return PEAK_FLOPS.get(gen, PEAK_FLOPS["v5e"])
+
+
+def base_cfg(**kw):
     from wmfml_tpu.configs import Config
-    from wmfml_tpu.data.device_sampler import from_dataset
-    from wmfml_tpu.data.factory import build_data
-    from wmfml_tpu.models.registry import build_model
-    from wmfml_tpu.parallel.mesh import MeshContext
-    from wmfml_tpu.train.state import TrainState, build_optimizer
-    from wmfml_tpu.train.steps import build_device_data_train_step, init_model
 
-    K = 16  # training steps fused per dispatch
-    cfg = Config.from_dict(dict(
+    d = dict(
         method="ANPShapeNet1D", task="shapenet_1d",
         aug_list=["task_aug", "data_aug"], checkpoint="",
         agg_mode="attention", loss_type="mse", tasks_per_batch=10,
@@ -44,42 +51,155 @@ def main():
         n_hidden_units_r=[100, 100], dim_r=64, dim_z=64, noise_scale=0.0,
         lr=1e-4, weight_decay=False, optimizer="Adam", bg_gen_freq=1000,
         val_iters=1, val_freq=10**9, iterations=1, device="tpu", seed=0,
-        synthetic_data=True, steps_per_call=K, compute_dtype="bfloat16",
-    ), make_dirs=False)
+        synthetic_data=True, steps_per_call=16, compute_dtype="bfloat16",
+    )
+    d.update(kw)
+    return Config.from_dict(d, make_dirs=False)
+
+
+def build_step(cfg):
+    """(step_callable, state, K) for cfg's method family."""
+    import jax
+
+    from wmfml_tpu.data.device_sampler import from_dataset
+    from wmfml_tpu.data.factory import build_data
+    from wmfml_tpu.models.registry import build_model
+    from wmfml_tpu.parallel.mesh import MeshContext
+    from wmfml_tpu.train.state import TrainState, build_optimizer
 
     data = build_data(cfg, mode="train")
     model = build_model(cfg)
     mesh_ctx = MeshContext.create(cfg.mesh_shape,
                                   batch_divisor=cfg.tasks_per_batch)
-    tx = build_optimizer(cfg)
     key = jax.random.PRNGKey(0)
-    state = jax.device_put(
-        TrainState.create(init_model(model, cfg, key), tx),
-        mesh_ctx.replicated)
+    K = cfg.steps_per_call
     sampler = from_dataset(data, cfg)
     assert sampler is not None, "train split must fit in HBM for this bench"
-    train_step = build_device_data_train_step(model, cfg, sampler, mesh_ctx,
-                                              tx, K)
 
-    # warmup / compile (fetch forces completion)
-    for i in range(2):
-        state, metrics = train_step(state, jax.random.fold_in(key, i))
+    if cfg.method == "MMAMLShapeNet1D":
+        from wmfml_tpu.train.mmaml import (MMAMLTrainer,
+                                           build_mmaml_device_train_step,
+                                           build_mmaml_optimizer,
+                                           build_mmaml_outer)
+
+        bundle = model
+        tx = build_mmaml_optimizer(cfg)
+        tr = object.__new__(MMAMLTrainer)
+        tr.bundle, tr.config = bundle, cfg
+        variables = MMAMLTrainer._init_variables(tr, key)
+        state = jax.device_put(TrainState.create(variables, tx),
+                               mesh_ctx.replicated)
+        outer = build_mmaml_outer(bundle, cfg, int(cfg.num_steps),
+                                  train=True, test=False)
+        step = build_mmaml_device_train_step(bundle, cfg, sampler, mesh_ctx,
+                                             tx, K, outer)
+    elif cfg.method.startswith("MAML"):
+        from wmfml_tpu.train.maml import (MAMLTrainer,
+                                          build_maml_device_train_step,
+                                          build_maml_outer)
+
+        tx = build_optimizer(cfg)
+        tr = object.__new__(MAMLTrainer)
+        tr.model, tr.config = model, cfg
+        variables = MAMLTrainer._init_variables(tr, key)
+        state = jax.device_put(TrainState.create(variables, tx),
+                               mesh_ctx.replicated)
+        outer = build_maml_outer(model, cfg, int(cfg.num_steps),
+                                 train=True, test=False)
+        step = build_maml_device_train_step(model, cfg, sampler, mesh_ctx,
+                                            tx, K, outer)
+    else:
+        from wmfml_tpu.train.steps import (build_device_data_train_step,
+                                           init_model)
+
+        tx = build_optimizer(cfg)
+        state = jax.device_put(
+            TrainState.create(init_model(model, cfg, key), tx),
+            mesh_ctx.replicated)
+        step = build_device_data_train_step(model, cfg, sampler, mesh_ctx,
+                                            tx, K)
+    return step, state, K
+
+
+def run_workload(name: str, cfg, calls: int) -> dict:
+    import jax
+
+    step, state, K = build_step(cfg)
+    key = jax.random.PRNGKey(7)
+
+    # compile ONCE ahead-of-time: the same compiled object serves both the
+    # cost analysis (XLA's own FLOP count) and the timed execution
+    arrays = step._arrays()
+    compiled = step._jitted.lower(state, arrays,
+                                  jax.random.fold_in(key, 0)).compile()
+    flops_per_call = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass  # cost analysis is best-effort; throughput is still honest
+
+    for i in range(2):  # warmup (fetch forces completion)
+        state, metrics = compiled(state, arrays, jax.random.fold_in(key, i))
     _ = float(metrics["loss"])
 
-    calls = 25
     t0 = time.perf_counter()
     for i in range(calls):
-        state, metrics = train_step(state, jax.random.fold_in(key, 100 + i))
-    final_loss = float(metrics["loss"])  # real sync point
+        state, metrics = compiled(state, arrays,
+                                  jax.random.fold_in(key, 100 + i))
+    final_loss = float(metrics["loss"])  # the real sync point
     dt = time.perf_counter() - t0
 
-    assert final_loss == final_loss  # NaN guard on the benchmark itself
-    tasks_per_sec = calls * K * cfg.tasks_per_batch / dt
+    assert final_loss == final_loss, f"{name}: NaN loss in benchmark"
+    steps = calls * K
+    out = {
+        "tasks_per_sec": round(steps * cfg.tasks_per_batch / dt, 2),
+        "ms_per_step": round(1000 * dt / steps, 3),
+    }
+    if flops_per_call:
+        achieved = flops_per_call * calls / dt
+        out["gflops_per_step"] = round(flops_per_call / K / 1e9, 2)
+        out["tflops_per_sec"] = round(achieved / 1e12, 2)
+        out["mfu_pct"] = round(100 * achieved / chip_peak(), 2)
+    return out
+
+
+def main():
+    fast = os.environ.get("BENCH_FAST", "") not in ("", "0")
+    results = {}
+
+    headline_cfg = base_cfg()
+    results["anp_shapenet1d"] = run_workload("anp_shapenet1d", headline_cfg,
+                                             calls=25)
+
+    if not fast:
+        maml_kw = dict(
+            aug_list=["data_aug"], agg_mode=None, dim_w=196, num_filters=64,
+            num_updates=5, test_num_updates=20, first_order=False,
+            update_lr=0.002, beta=0.001, lr=5e-4, steps_per_call=4)
+        workloads = {
+            "anp_shapenet3d": base_cfg(
+                method="ANP", task="shapenet_3d", img_agg="reshape",
+                tasks_per_batch=20, max_ctx_num=15, query_num=15,
+                dim_w=None, gen_bg=True, steps_per_call=16),
+            "maml_shapenet1d": base_cfg(method="MAMLShapeNet1D", **maml_kw),
+            "mmaml_shapenet1d": base_cfg(
+                method="MMAMLShapeNet1D",
+                **dict(maml_kw, aug_list=["data_aug", "task_aug"])),
+        }
+        for name, cfg in workloads.items():
+            results[name] = run_workload(name, cfg, calls=8)
+
+    head = results["anp_shapenet1d"]
+    tasks_per_sec = head["tasks_per_sec"]
     print(json.dumps({
         "metric": "meta_train_tasks_per_sec_per_chip",
-        "value": round(float(tasks_per_sec), 2),
+        "value": tasks_per_sec,
         "unit": "tasks/s",
-        "vs_baseline": round(float(tasks_per_sec / REFERENCE_TASKS_PER_SEC), 3),
+        "vs_baseline": round(tasks_per_sec / REFERENCE_TASKS_PER_SEC, 3),
+        "extra": results,
     }))
 
 

@@ -28,7 +28,10 @@ import orbax.checkpoint as ocp
 for _name in ("absl", "orbax", "orbax.checkpoint"):
     logging.getLogger(_name).setLevel(logging.ERROR)
 
-from wmfml_tpu.train.state import TrainState
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # import-time cycle: train.__init__ -> trainer -> ckpt
+    from wmfml_tpu.train.state import TrainState
 
 
 class CheckpointManager:
@@ -40,7 +43,7 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.models_dir, name)
 
-    def save(self, name: str, state: TrainState, extra: Optional[dict] = None):
+    def save(self, name: str, state: "TrainState", extra: Optional[dict] = None):
         payload = {
             "step": state.step,
             "params": state.params,
@@ -53,7 +56,7 @@ class CheckpointManager:
         self._ckpt.save(path, payload, force=True)
         self._ckpt.wait_until_finished()
 
-    def restore(self, name_or_path: str, state: TrainState) -> TrainState:
+    def restore(self, name_or_path: str, state: "TrainState") -> "TrainState":
         if os.path.isabs(name_or_path) or os.path.exists(name_or_path):
             path = os.path.abspath(name_or_path)  # explicit path (any cwd-rel)
         else:

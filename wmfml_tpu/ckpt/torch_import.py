@@ -40,6 +40,18 @@ def linear_after_flatten(w: np.ndarray, chw: Tuple[int, int, int]) -> np.ndarray
     return np.transpose(w.reshape(out, c, h, ww), (2, 3, 1, 0)).reshape(-1, out)
 
 
+def permute_flat_inputs(w_t: np.ndarray, chw: Tuple[int, int, int]) -> np.ndarray:
+    """torch Linear weight [out, in] whose FIRST C*H*W input columns consume
+    a CHW-flattened feature map -> flax kernel [in, out] consuming the
+    HWC-flattened map; trailing (non-spatial, e.g. label) inputs keep order."""
+    c, h, ww = chw
+    spatial = c * h * ww
+    w_img = linear_after_flatten(w_t[:, :spatial], chw)
+    if w_t.shape[1] == spatial:
+        return w_img
+    return np.concatenate([w_img, linear_kernel(w_t[:, spatial:])], axis=0)
+
+
 def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
     node = tree
     for p in path[:-1]:
@@ -113,16 +125,24 @@ def import_resnet_trunk(sd, conv1_prefix: str, resnet_prefix: str,
 
 
 def import_attention_block(sd, tree: dict, dst, n_heads: int = 8,
-                           favor_tree: Optional[dict] = None):
+                           favor_tree: Optional[dict] = None,
+                           kq_chw: Optional[Tuple[int, int, int]] = None):
     """Per-head AttnLinear lists -> stacked [in, H*d] dense kernels
     (networks/ANP.py:56-68 -> MultiheadFavorCrossAttention W_k/W_v/W_q/W_out).
+
+    kq_chw: when the k/q inputs are CHW-flattened image-trunk features (the
+    large-CNP family feeds the trunk output straight into W_k/W_q,
+    networks/ANP.py:117-123), their input axes need the CHW->HWC permutation;
+    W_v consumes task-encoder outputs (no spatial structure).
 
     When the state_dict carries the FAVOR projection buffer
     (attn.projection_matrix) and ``favor_tree`` is given, it is imported so
     converted models reproduce the torch attention outputs exactly."""
     dst = _tup(dst)
     for torch_name, ours in [("_W_k", "W_k"), ("_W_v", "W_v"), ("_W_q", "W_q")]:
-        ws = [linear_kernel(sd[f"{torch_name}.{i}.linear.weight"])
+        perm = kq_chw if ours in ("W_k", "W_q") else None
+        ws = [permute_flat_inputs(sd[f"{torch_name}.{i}.linear.weight"], perm)
+              if perm else linear_kernel(sd[f"{torch_name}.{i}.linear.weight"])
               for i in range(n_heads)]
         bs = [sd[f"{torch_name}.{i}.linear.bias"] for i in range(n_heads)]
         _set(tree, dst + (ours, "kernel"), np.concatenate(ws, axis=1))
@@ -178,6 +198,22 @@ def import_bbb_literature_encoder(sd, prefix: str, tree: dict, dst,
                       flatten_chw=flatten_chw)
 
 
+def import_bbb_resnet_trunk(sd, prefix: str, tree: dict, dst):
+    """ANPMRShapeNet3D's BBBEncoder (networks/ANPMRShapeNet3D.py:79-91):
+    {prefix}.net.layer1.conv (5x5 s2) + net.layer{2..5} BasicBlocks whose
+    conv1/conv2/downsample.0 are ALL biased 3x3 BBB convs (the reference's
+    "conv1x1" receives kernel_size=3/padding=1 via **kwargs)."""
+    dst = _tup(dst)
+    import_bbb_conv(sd, f"{prefix}.net.layer1.conv", tree, dst + ("conv1",))
+    for i in range(2, 6):
+        blk = f"{prefix}.net.layer{i}"
+        name = f"layer{i - 1}"
+        import_bbb_conv(sd, f"{blk}.conv1", tree, dst + (f"{name}_conv1",))
+        import_bbb_conv(sd, f"{blk}.conv2", tree, dst + (f"{name}_conv2",))
+        import_bbb_conv(sd, f"{blk}.downsample.0", tree,
+                        dst + (f"{name}_down",))
+
+
 # ---------------------------------------------------------------------------
 # model-level importers
 # ---------------------------------------------------------------------------
@@ -205,45 +241,64 @@ def import_small_cnp(sd: Dict[str, np.ndarray], n_hidden: int = 2,
     return out
 
 
+def trunk_chw(img_agg: str, img_hw: int) -> Optional[Tuple[int, int, int]]:
+    """(C, h, w) of the trunk's pre-flatten feature map, or None when the
+    pooling removes spatial structure (img_agg='mean')."""
+    if img_agg == "reshape":
+        hw = img_hw // 32
+        return (64, hw, hw)
+    if img_agg in ("max", "baco"):
+        return (64, 2, 2)
+    return None  # mean
+
+
 def import_large_cnp(sd: Dict[str, np.ndarray], agg_mode: str = "max",
                      img_hw: int = 64, img_agg: str = "reshape",
-                     label_embed: bool = False) -> dict:
-    """CondNeuralProcess / ANP / CNPDistractor (+ANPDistractor) -> LargeCNP
-    variables ({"params": ..., ["favor": ...]})."""
+                     label_embed: bool = False, bbb_trunk: bool = False) -> dict:
+    """CondNeuralProcess / ANP / CNPDistractor / ANPDistractor /
+    FCLCNPDistractor / FCLANP / SingleTaskShapeNet3D / SingleTaskDistractor /
+    ANPMRShapeNet3D (bbb_trunk) -> LargeCNP/SingleTaskLarge variables.
+
+    Every consumer of the trunk's flattened features needs the CHW->HWC
+    input permutation: task_encoder.0, attention W_k/W_q (trunk feats are
+    the keys/queries, networks/ANP.py:117-123), and decoder.fc_mu.0."""
     tree: dict = {}
     favor: dict = {}
-    import_resnet_trunk(sd, "img_encoder.conv1", "img_encoder.resnet", tree,
-                        "img_encoder")
+    chw = trunk_chw(img_agg, img_hw)
+    if bbb_trunk:
+        import_bbb_resnet_trunk(sd, "img_encoder", tree, "img_encoder")
+    else:
+        import_resnet_trunk(sd, "img_encoder.conv1", "img_encoder.resnet",
+                            tree, "img_encoder")
     if label_embed:
         import_dense(sd, "transform_y", tree, ("transform_y", "Dense_0"))
-    import_mlp(sd, ["task_encoder.0", "task_encoder.2", "task_encoder.4"],
-               tree, "task_encoder")
+    # task_encoder.0's first trunk_dim inputs are CHW-flattened trunk feats
+    w0 = sd["task_encoder.0.weight"]
+    _set(tree, ("task_encoder", "Dense_0", "Dense_0", "kernel"),
+         permute_flat_inputs(w0, chw) if chw else linear_kernel(w0))
+    _set(tree, ("task_encoder", "Dense_0", "Dense_0", "bias"),
+         sd["task_encoder.0.bias"])
+    for i, p in enumerate(["task_encoder.2", "task_encoder.4"], start=1):
+        import_dense(sd, p, tree, ("task_encoder", f"Dense_{i}", "Dense_0"))
     import_dense(sd, "mu", tree, ("mu", "Dense_0"))
     if agg_mode == "baco":
         import_dense(sd, "latent_mu", tree, ("latent_mu", "Dense_0"))
         import_dense(sd, "latent_var", tree, ("latent_var", "Dense_0"))
     if agg_mode == "attention":
-        import_attention_block(sd, tree, "cross_attn", favor_tree=favor)
-    # NPDecoder: trunk + fc_mu head; trunk output is flattened (C, h, w) in
-    # torch vs (h, w, C) here -> permute fc_mu.0's first trunk_dim inputs
+        import_attention_block(sd, tree, "cross_attn", favor_tree=favor,
+                               kq_chw=chw)
+    # NPDecoder: trunk + fc_mu head; same flatten permutation on fc_mu.0
     import_resnet_trunk(sd, "decoder.conv1", "decoder.resnet", tree,
                         ("decoder", "trunk"))
-    final_hw = img_hw // 32
-    if img_agg == "reshape":
-        chw = (64, final_hw, final_hw)
-    elif img_agg in ("max", "baco"):
-        chw = (64, 2, 2)
-    else:  # mean -> no spatial structure
-        chw = None
     w0 = sd["decoder.fc_mu.0.weight"]
-    trunk_dim = (np.prod(chw) if chw else 64)
     if chw is not None:
-        w_img = linear_after_flatten(w0[:, :trunk_dim], chw)
+        trunk_dim = int(np.prod(chw))
+        w_first = np.concatenate(
+            [linear_after_flatten(w0[:, :trunk_dim], chw),
+             linear_kernel(w0[:, trunk_dim:])], axis=0)
     else:
-        w_img = linear_kernel(w0[:, :trunk_dim])
-    w_task = linear_kernel(w0[:, trunk_dim:])
-    _set(tree, ("decoder", "fc_mu", "Dense_0", "Dense_0", "kernel"),
-         np.concatenate([w_img, w_task], axis=0))
+        w_first = linear_kernel(w0)
+    _set(tree, ("decoder", "fc_mu", "Dense_0", "Dense_0", "kernel"), w_first)
     _set(tree, ("decoder", "fc_mu", "Dense_0", "Dense_0", "bias"),
          sd["decoder.fc_mu.0.bias"])
     for i, p in enumerate(["decoder.fc_mu.2", "decoder.fc_mu.4"], start=1):
@@ -290,13 +345,16 @@ def import_small_mr(sd: Dict[str, np.ndarray], n_hidden: int = 2,
     return out
 
 
-def import_maml(sd: Dict[str, np.ndarray]) -> dict:
-    """MAMLShapeNet1D / VanillaMAML (networks/MAMLShapeNet1D.py:89-114) ->
-    MAMLRegressor params.
+def import_maml(sd: Dict[str, np.ndarray],
+                reg_prefix: str = "regressor.regressor") -> dict:
+    """MAMLShapeNet1D / VanillaMAML -> MAMLRegressor params.
 
     torchmeta MetaSequential keys: encoder_w.layer{1,2,3}.conv + encoder_w
-    .linear; features.layer{1..4}.{conv,norm}; regressor.regressor. The
-    dim_w -> 14x14x1 reshape boundary needs no permutation (C == 1)."""
+    .linear; features.layer{1..4}.{conv,norm}. MAMLShapeNet1D wraps the
+    regressor in MetaSequential ('regressor.regressor',
+    networks/MAMLShapeNet1D.py:111-113) while VanillaMAML's is a bare
+    MetaLinear ('regressor', networks/VanillaMAML.py:94). The dim_w ->
+    14x14x1 reshape boundary needs no permutation (C == 1)."""
     tree: dict = {}
     for layer, name in [("layer1", "conv0"), ("layer2", "conv1"),
                         ("layer3", "conv2")]:
@@ -315,7 +373,28 @@ def import_maml(sd: Dict[str, np.ndarray]) -> dict:
              sd[f"features.layer{i}.norm.weight"])
         _set(tree, (f"features_{i}_bn_bias",),
              sd[f"features.layer{i}.norm.bias"])
-    import_dense(sd, "regressor.regressor", tree, ("regressor", "Dense_0"))
+    import_dense(sd, reg_prefix, tree, ("regressor", "Dense_0"))
+    return {"params": tree}
+
+
+def import_maml_mr(sd: Dict[str, np.ndarray], tanh: bool = False) -> dict:
+    """MAMLMR / MAMLMRShapeNet1D (networks/MAMLMR.py:50-63,99-128):
+    encoder_w is a BBBEncoder (plain nn.Sequential keys, frozen in the inner
+    loop), features/regressor are torchmeta Meta modules. The tanh variant
+    wraps the regressor in MetaSequential -> key 'regressor.linear'."""
+    tree: dict = {}
+    import_bbb_literature_encoder(sd, "encoder_w", tree, "encoder_w")
+    for i in range(1, 5):
+        _set(tree, (f"features_{i}_conv", "kernel"),
+             conv_kernel(sd[f"features.layer{i}.conv.weight"]))
+        _set(tree, (f"features_{i}_conv", "bias"),
+             sd[f"features.layer{i}.conv.bias"])
+        _set(tree, (f"features_{i}_bn_scale",),
+             sd[f"features.layer{i}.norm.weight"])
+        _set(tree, (f"features_{i}_bn_bias",),
+             sd[f"features.layer{i}.norm.bias"])
+    reg = "regressor.linear" if tanh else "regressor"
+    import_dense(sd, reg, tree, ("regressor", "Dense_0"))
     return {"params": tree}
 
 
@@ -351,22 +430,45 @@ def import_mmaml(sd: Dict[str, np.ndarray], n_layers: int = 4) -> dict:
     return {"params": {"model": gated, "embedding": embed}}
 
 
+# Every registry method has an importer (reference networks/* x 24).
+# FCL variants add NO parameters over their base models
+# (networks/FCLCNPShapeNet1D.py:47-72, FCLCNPDistractor.py:43-60,
+# FCLANP.py:44-70) — asserted by tests/test_state_dict_keys.py — so they
+# alias the base importers.
 MODEL_IMPORTERS = {
     "MAMLShapeNet1D": import_maml,
-    "VanillaMAML": import_maml,
+    "VanillaMAML": lambda sd, **kw: import_maml(
+        sd, reg_prefix="regressor", **kw),
+    "MAMLMR": import_maml_mr,
+    "MAMLMRShapeNet1D": lambda sd, **kw: import_maml_mr(sd, tanh=True, **kw),
     "MMAMLShapeNet1D": import_mmaml,
     "CNPMR": import_small_mr,
     "CNPMRShapeNet1D": import_small_mr,
     "ANPMR": lambda sd, **kw: import_small_mr(sd, agg_mode="attention", **kw),
     "ANPMRShapeNet1D": lambda sd, **kw: import_small_mr(
         sd, agg_mode="attention", **kw),
+    "ANPMRShapeNet3D": lambda sd, **kw: import_large_cnp(
+        sd, agg_mode="attention", bbb_trunk=True,
+        img_agg=kw.pop("img_agg", "reshape"), **kw),
     "CNPShapeNet1D": import_small_cnp,
     "ANPShapeNet1D": lambda sd, **kw: import_small_cnp(
         sd, agg_mode="attention", **kw),
     "CNPVanillaPascal1D": import_small_cnp,
     "ANPVanillaPascal1D": lambda sd, **kw: import_small_cnp(
         sd, agg_mode="attention", **kw),
+    "FCLCNPShapeNet1D": import_small_cnp,
+    "FCLCNPDistractor": lambda sd, **kw: import_large_cnp(
+        sd, img_hw=128, img_agg=kw.pop("img_agg", "max"), label_embed=True,
+        **kw),
+    "FCLANP": lambda sd, **kw: import_large_cnp(
+        sd, agg_mode="attention", img_agg=kw.pop("img_agg", "reshape"), **kw),
     "SingleTaskShapeNet1D": import_single_task_small,
+    "SingleTaskShapeNet3D": lambda sd, **kw: import_large_cnp(
+        sd, agg_mode="mean", img_hw=64,
+        img_agg=kw.pop("img_agg", "reshape"), **kw),
+    "SingleTaskDistractor": lambda sd, **kw: import_large_cnp(
+        sd, agg_mode="mean", img_hw=128,
+        img_agg=kw.pop("img_agg", "max"), **kw),
     "CondNeuralProcess": import_large_cnp,
     "ANP": lambda sd, **kw: import_large_cnp(sd, agg_mode="attention", **kw),
     "CNPDistractor": lambda sd, **kw: import_large_cnp(

@@ -129,6 +129,15 @@ class Config:
         self.first_order = get("first_order", None)
         self.update_lr = get("update_lr", None)
         self.beta = get("beta", 0)
+        # learnable / per-parameter inner step sizes
+        # (reference trainer/maml_trainer.py:96-112; off in every shipped cfg)
+        self.learn_step_size = get("learn_step_size", False)
+        self.per_param_step_size = get("per_param_step_size", False)
+        # inner-loop remat policy: "none" (default, fastest at these episode
+        # sizes) | "step" (full per-inner-step remat) | "dots"
+        self.maml_remat = get("maml_remat", "none")
+        # inner lax.scan unroll factor (0 = fully unrolled)
+        self.maml_unroll = get("maml_unroll", 0)
 
         self.tsne = get("tsne", False)
 
@@ -203,6 +212,10 @@ class Config:
     def add_logger(self):
         logging.basicConfig(level=logging.INFO, format="%(message)s")
         self.logger = logging.getLogger()
+        # basicConfig is a no-op when a library (jax/absl) already configured
+        # the root logger at WARNING — set the level explicitly or every
+        # logger.info (train/val losses!) is silently dropped
+        self.logger.setLevel(logging.INFO)
         fh = logging.FileHandler(f"{self.save_path}/log.log", "a")
         fh.setLevel(logging.INFO)
         self.logger.addHandler(fh)

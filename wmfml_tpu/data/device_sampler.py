@@ -53,8 +53,18 @@ class DeviceEpisodeSampler:
         self.y = jax.device_put(np.asarray(y, np.float32))
         self.bg = jax.device_put(bg_images) if self.gen_bg else None
 
-    def sample(self, key, tasks_per_batch: int):
+    def arrays(self):
+        """Split tensors, passed to jitted steps as ARGUMENTS — closing over
+        them would embed them as HLO constants, which lowers through a
+        device->host fetch of the whole split (minutes over the axon tunnel
+        for real datasets) and bloats the compiled module."""
+        return (self.x, self.y) + ((self.bg,) if self.gen_bg else ())
+
+    def sample(self, key, tasks_per_batch: int, arrays=None):
         """Traceable: key -> raw episode batch (pre aug-pipeline)."""
+        if arrays is None:
+            arrays = self.arrays()
+        x, y = arrays[0], arrays[1]
         k_cls, k_perm, k_shot, k_bg = jax.random.split(key, 4)
         t = tasks_per_batch
         s, q = self.max_ctx, self.query
@@ -65,8 +75,8 @@ class DeviceEpisodeSampler:
         u = jax.random.uniform(k_perm, (t, self.n_inst))
         take = jnp.argsort(u, axis=-1)[:, :s + q]           # [T, S+Q]
 
-        xs = self.x[cls[:, None], take]                     # [T, S+Q, H, W, C]
-        ys = self.y[cls[:, None], take] * self.label_scale  # [T, S+Q, Dy]
+        xs = x[cls[:, None], take]                          # [T, S+Q, H, W, C]
+        ys = y[cls[:, None], take] * self.label_scale       # [T, S+Q, Dy]
 
         shot = jax.random.randint(k_shot, (), self.shot_min, s + 1)
         mask = jnp.arange(s)[None, :] < shot                # [T(S broadcast)]
@@ -75,16 +85,17 @@ class DeviceEpisodeSampler:
         ctx_x, qry_x = xs[:, :s], xs[:, s:]
         ctx_y, qry_y = ys[:, :s], ys[:, s:]
         if self.gen_bg:
-            ctx_x = self._composite(k_bg, ctx_x)
-            qry_x = self._composite(jax.random.fold_in(k_bg, 1), qry_x)
+            bg = arrays[2]
+            ctx_x = self._composite(k_bg, ctx_x, bg)
+            qry_x = self._composite(jax.random.fold_in(k_bg, 1), qry_x, bg)
         return dict(ctx_x=ctx_x, ctx_y=ctx_y, ctx_mask=mask,
                     qry_x=qry_x, qry_y=qry_y)
 
-    def _composite(self, key, images):
+    def _composite(self, key, images, bg_bank):
         """Per-batch alpha compositing (alpha==1 marks background pixels)."""
         t, n = images.shape[:2]
-        idx = jax.random.randint(key, (t, n), 0, self.bg.shape[0])
-        bg = self.bg[idx]                                   # [T, N, H, W, 3]
+        idx = jax.random.randint(key, (t, n), 0, bg_bank.shape[0])
+        bg = bg_bank[idx]                                   # [T, N, H, W, 3]
         fg_mask = (images[..., 3:4] < 1.0).astype(images.dtype)
         rgb = images[..., :3] * fg_mask + bg * (1.0 - fg_mask)
         return jnp.concatenate([rgb, images[..., 3:4]], axis=-1)

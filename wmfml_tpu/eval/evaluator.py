@@ -56,6 +56,75 @@ class ModelEvaluator:
 
     # ------------------------------------------------------------------
 
+    def _device_sweep(self, source: str):
+        """Full loss-vs-ctx sweep on device: ONE dispatch for all
+        max_ctx_num x val_iters batches. Returns (losses, stds) lists or
+        None when the split can't be device-resident.
+
+        Index streams are the host sampler's own (rng-42 reseeded per ctx
+        point, evaluator/model_evaluator.py:151-158), so the episode
+        sequence is bit-identical to the host path; mode='eval' all-view
+        queries are the full view permutation as the query index block.
+        """
+        cfg = self.config
+        if getattr(cfg, "device_data", "auto") not in ("auto", True, "true"):
+            return None
+        if not hasattr(self.data, "get_batch_indices"):
+            return None
+        eval_mode = getattr(self.data, "mode", None) == "eval"
+        if not hasattr(self, "_sweeps"):
+            self._sweeps = {}
+        if source not in self._sweeps:
+            from wmfml_tpu.data.device_eval import (
+                build_device_eval_ctx_sweep, split_from_dataset)
+
+            split = split_from_dataset(self.data, cfg, source,
+                                       query_all=eval_mode)
+            self._sweeps[source] = None if split is None else \
+                build_device_eval_ctx_sweep(self.model, cfg, split, self.mesh)
+        sweep = self._sweeps[source]
+        if sweep is None:
+            return None
+
+        s, q, vi = cfg.max_ctx_num, cfg.query_num, cfg.val_iters
+        cls, ctx, shots, qry = [], [], [], []
+        for ctx_num in range(1, s + 1):
+            self.data.reset_eval(source, seed=42)
+            for _ in range(vi):
+                groups, take, shot = self.data.get_batch_indices(
+                    source, cfg.tasks_per_batch, ctx_num)
+                assert shot == ctx_num, "eval shot must equal the ctx point"
+                ci = np.pad(take[:, :shot], ((0, 0), (0, s - shot)),
+                            mode="edge")
+                cls.append(groups)
+                ctx.append(ci)
+                shots.append(shot)
+                qry.append(take if eval_mode else take[:, shot:shot + q])
+        key = jax.random.fold_in(self.base_key, 20_000_000)
+        losses = sweep(self.state, np.stack(cls), np.stack(ctx),
+                       np.asarray(shots, np.int32), np.stack(qry), key)
+        per_ctx = np.asarray(jax.device_get(losses),
+                             np.float64).reshape(s, vi)
+        means = [float(m) for m in per_ctx.mean(axis=1)]
+        stds = [float(r.std(ddof=1)) if vi > 1 else 0.0 for r in per_ctx]
+        for m, r in zip(means, stds):
+            self.logger.info(f"{source} loss: {m:.4f}\n{source} std: {r:.4f}")
+        return means, stds
+
+    def _sweep_source(self, source: str):
+        """(losses, stds) over ctx 1..max — device path, host fallback."""
+        dev = self._device_sweep(source)
+        if dev is not None:
+            self.logger.info(f"[{source}] sweep ran device-resident "
+                             f"(one dispatch)")
+            return dev
+        losses, stds = [], []
+        for ctx_num in range(1, self.config.max_ctx_num + 1):
+            loss, std = self._validate_iter(source, ctx_num)
+            losses.append(loss)
+            stds.append(std)
+        return losses, stds
+
     def _validate_iter(self, source: str, max_ctx_num: int):
         cfg = self.config
         self.data.reset_eval(source, seed=42)
@@ -73,15 +142,10 @@ class ModelEvaluator:
     def evaluate(self):
         cfg = self.config
         self.logger.info("================== Start Evaluation ===================")
-        val_losses, val_std, test_losses, test_std = [], [], [], []
-        for ctx_num in range(1, cfg.max_ctx_num + 1):
-            loss, std = self._validate_iter("validation", ctx_num)
-            val_losses.append(loss)
-            val_std.append(std)
-            if cfg.task != "pascal_1d":
-                loss, std = self._validate_iter("test", ctx_num)
-                test_losses.append(loss)
-                test_std.append(std)
+        val_losses, val_std = self._sweep_source("validation")
+        test_losses, test_std = [], []
+        if cfg.task != "pascal_1d":
+            test_losses, test_std = self._sweep_source("test")
 
         index = list(range(1, cfg.max_ctx_num + 1))
         np.savetxt(f"{cfg.save_path}/val_losses.txt",
@@ -98,11 +162,7 @@ class ModelEvaluator:
 
     def evaluate_one_task(self):
         cfg = self.config
-        test_losses, test_std = [], []
-        for ctx_num in range(1, cfg.max_ctx_num + 1):
-            loss, std = self._validate_iter("test", ctx_num)
-            test_losses.append(loss)
-            test_std.append(std)
+        test_losses, test_std = self._sweep_source("test")
         index = list(range(1, cfg.max_ctx_num + 1))
         np.savetxt(f"{cfg.save_path}/test_losses.txt",
                    np.column_stack((index, test_losses, test_std)), fmt="%1.4f")

@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from wmfml_tpu.models.maml import masked_batch_norm
+from wmfml_tpu.nn.encoders import max_pool_2x2
 from wmfml_tpu.nn.init import torch_bias_init, torch_kernel_init
 from wmfml_tpu.nn.mlp import Dense
 
@@ -41,7 +42,7 @@ class MetaConvModel(nn.Module):
             x = masked_batch_norm(x, mask, scale.astype(x.dtype),
                                   bias.astype(x.dtype))
             x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = max_pool_2x2(x)
         x = x.reshape(x.shape[0], -1)
         out = Dense(self.out_features, dtype=self.dtype, name="classifier")(x)
         return out, 0.0

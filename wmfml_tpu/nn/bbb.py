@@ -125,7 +125,8 @@ class BBBLiteratureEncoder(nn.Module):
                         dtype=self.dtype, name="conv1")(x)
         kl_total += kl
         x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        from wmfml_tpu.nn.encoders import max_pool_2x2
+        x = max_pool_2x2(x)
         x, kl = BBBConv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name="conv2")(x)
         kl_total += kl
@@ -153,19 +154,23 @@ class BBBResNetTrunk(nn.Module):
                         dtype=self.dtype, name="conv1")(x)
         kl_total += kl
         x = nn.relu(x)
+        # reference BasicBlock convs carry biases, and its "conv1x1"
+        # downsample actually receives kernel_size=3/padding=1 through
+        # **kwargs (networks/ANPMRShapeNet3D.py:35-50) — a quirk preserved
+        # here for checkpoint-import fidelity
         for i in range(4):
             identity_in = x
             y, kl = BBBConv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
-                            use_bias=False, dtype=self.dtype,
+                            dtype=self.dtype,
                             name=f"layer{i + 1}_conv1")(x)
             kl_total += kl
             y = nn.relu(y)
             y, kl = BBBConv(64, (3, 3), strides=1, padding=[(1, 1), (1, 1)],
-                            use_bias=False, dtype=self.dtype,
+                            dtype=self.dtype,
                             name=f"layer{i + 1}_conv2")(y)
             kl_total += kl
-            identity, kl = BBBConv(64, (1, 1), strides=2, padding=[(0, 0), (0, 0)],
-                                   use_bias=False, dtype=self.dtype,
+            identity, kl = BBBConv(64, (3, 3), strides=2,
+                                   padding=[(1, 1), (1, 1)], dtype=self.dtype,
                                    name=f"layer{i + 1}_down")(identity_in)
             kl_total += kl
             x = nn.relu(y + identity)

@@ -37,6 +37,19 @@ def adaptive_max_pool(x: jnp.ndarray, out_hw: int = 2) -> jnp.ndarray:
     return jnp.max(x, axis=(2, 4))
 
 
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool2d(2) as strided slices + elementwise maximum.
+
+    XLA's reduce-window lowering for this shape measured ~3 ms per call on
+    v5e inside the MAML inner loop (22% of the whole outer step, see
+    RESULTS.md round 2); four slices + three maximums are pure VPU work,
+    and the backward is comparison masks instead of select-and-scatter.
+    """
+    a = jnp.maximum(x[:, 0::2, 0::2], x[:, 0::2, 1::2])
+    b = jnp.maximum(x[:, 1::2, 0::2], x[:, 1::2, 1::2])
+    return jnp.maximum(a, b)
+
+
 class LiteratureEncoder(nn.Module):
     """Conv stack -> dim_w feature per image."""
 
@@ -56,7 +69,7 @@ class LiteratureEncoder(nn.Module):
                     bias_init=torch_bias_init(32 * 9), dtype=self.dtype,
                     name="conv1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = max_pool_2x2(x)
         x = nn.Conv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                     kernel_init=torch_kernel_init,
                     bias_init=torch_bias_init(48 * 9), dtype=self.dtype,

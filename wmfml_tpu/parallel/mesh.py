@@ -66,7 +66,9 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host-side pytree batch on the mesh, task axis over "data".
 
     Single-process path uses device_put; multi-process path builds a global
-    array from per-process shards.
+    array from per-process shards (each host feeds its local slice of the
+    task axis; exercised by tests/test_multihost.py on a 2-process CPU
+    cluster).
     """
     sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
@@ -75,6 +77,40 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch,
     )
+
+
+def param_sharding_rule(mesh: Mesh, min_size: int = 32768):
+    """Tensor-parallel placement rule: 2-D+ kernels of >= min_size elements
+    shard their LAST axis over "model" (column-parallel dense — XLA inserts
+    the all-gather/reduce-scatter pair); everything else is replicated.
+    With model=1 the rule degenerates to full replication."""
+    model_n = mesh.shape[MODEL_AXIS]
+    repl = replicated_sharding(mesh)
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if (model_n > 1 and len(shape) >= 2
+                and int(np.prod(shape)) >= min_size
+                and shape[-1] % model_n == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1)), MODEL_AXIS))
+        return repl
+
+    return rule
+
+
+def state_shardings(mesh: Mesh, state, min_size: int = 32768):
+    """Sharding pytree for a TrainState under the TP rule (params and the
+    optimizer moments mirror each other, so one shape-based rule covers
+    both)."""
+    rule = param_sharding_rule(mesh, min_size)
+    return jax.tree_util.tree_map(rule, state)
+
+
+def shard_state(mesh: Mesh, state, min_size: int = 32768):
+    """Place a TrainState per the TP rule."""
+    rule = param_sharding_rule(mesh, min_size)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rule(x)), state)
 
 
 @dataclass

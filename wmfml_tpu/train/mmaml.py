@@ -18,6 +18,7 @@ the serial Python loops of the reference collapse into one SPMD program.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -26,6 +27,7 @@ import optax
 
 from wmfml_tpu.aug.pipeline import build_episode_processor
 from wmfml_tpu.losses import LossFunc
+from wmfml_tpu.train.maml import _remat
 from wmfml_tpu.train.trainer import ModelTrainer
 
 INNER_GRAD_CLIP = 20.0
@@ -51,6 +53,8 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
         azimuth_only="azimuth_only" in config.aug_list)
     fast_lr = float(config.update_lr)
     first_order = bool(config.first_order)
+    remat_mode = str(getattr(config, "maml_remat", "none") or "none")
+    unroll = int(getattr(config, "maml_unroll", 0) or 0) or num_steps
 
     def outer(params, batch, key):
         pbatch = process(key, batch)
@@ -65,7 +69,7 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
                 return loss_func.calc_loss(preds, None, ctx_y, test=False,
                                            mask=mask)
 
-            @jax.checkpoint
+            @partial(_remat, mode=remat_mode)
             def inner_step(mp, _):
                 grads = jax.grad(inner_loss_fn)(mp)
                 grads = jax.tree_util.tree_map(
@@ -77,7 +81,7 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
                     lambda p, g: p - fast_lr * g, mp, grads), None
 
             adapted, _ = jax.lax.scan(inner_step, params["model"], None,
-                                      length=num_steps)
+                                      length=num_steps, unroll=unroll)
             preds = bundle.gated.apply({"params": adapted}, qry_x,
                                        embeddings=embeddings, mask=None)
             return loss_func.calc_loss(preds, None, qry_y, test=test)
@@ -112,21 +116,30 @@ def build_mmaml_device_train_step(bundle, config, sampler, mesh_ctx, tx,
         return (state.replace(step=state.step + 1, params=params,
                               opt_state=new_opt), loss)
 
-    def fused(state, key):
+    def fused(state, arrays, key):
         k_sample, k_fwd = jax.random.split(key)
-        batches = jax.vmap(lambda k: sampler.sample(k, config.tasks_per_batch)
-                           )(jax.random.split(k_sample, steps_per_call))
+        batches = jax.vmap(
+            lambda k: sampler.sample(k, config.tasks_per_batch, arrays)
+        )(jax.random.split(k_sample, steps_per_call))
         keys = jax.random.split(k_fwd, steps_per_call)
         state, losses = jax.lax.scan(one_step, state, (batches, keys))
         return state, {"loss": jnp.mean(losses), "task_loss": losses[-1],
                        "kl": 0.0, "contra": 0.0}
 
     if mesh_ctx is None:
-        return jax.jit(fused, donate_argnums=(0,) if config.donate else ())
-    repl = mesh_ctx.replicated
-    return jax.jit(fused, in_shardings=(repl, repl),
-                   out_shardings=(repl, repl),
-                   donate_argnums=(0,) if config.donate else ())
+        jitted = jax.jit(fused, donate_argnums=(0,) if config.donate else ())
+    else:
+        repl = mesh_ctx.replicated
+        jitted = jax.jit(fused, in_shardings=(repl, repl, repl),
+                         out_shardings=(repl, repl),
+                         donate_argnums=(0,) if config.donate else ())
+
+    def call(state, key):
+        return jitted(state, sampler.arrays(), key)
+
+    call._jitted = jitted          # AOT/cost-analysis handle (bench.py)
+    call._arrays = sampler.arrays
+    return call
 
 
 class MMAMLTrainer(ModelTrainer):

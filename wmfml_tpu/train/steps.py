@@ -65,7 +65,10 @@ def _contra_term(config, out, batch):
 
 
 def build_train_step(model, config, mesh_ctx: Optional[MeshContext] = None,
-                     tx: Optional[optax.GradientTransformation] = None) -> Callable:
+                     tx: Optional[optax.GradientTransformation] = None,
+                     state_sharding=None) -> Callable:
+    """state_sharding: optional TrainState sharding pytree (tensor-parallel
+    placements from parallel.mesh.state_shardings); default replicated."""
     tx = tx or build_optimizer(config)
     loss_func = LossFunc(config.loss_type, config.task)
     forward = make_forward(model, config, train=True)
@@ -95,12 +98,13 @@ def build_train_step(model, config, mesh_ctx: Optional[MeshContext] = None,
         return jax.jit(train_step, donate_argnums=(0,) if config.donate else ())
 
     repl, data = mesh_ctx.replicated, mesh_ctx.data_sharding
+    st = state_sharding if state_sharding is not None else repl
     batch_shardings = dict(ctx_x=data, ctx_y=data, ctx_mask=data,
                            qry_x=data, qry_y=data)
     return jax.jit(
         train_step,
-        in_shardings=(repl, batch_shardings, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, batch_shardings, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,) if config.donate else (),
     )
 
@@ -192,12 +196,15 @@ def build_device_data_train_step(model, config, sampler,
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt), loss
 
-    def fused(state, key):
+    def fused(state, arrays, key):
         k_sample, k_fwd = jax.random.split(key)
         # one big gather for all K episodes (amortizes XLA gather overhead
-        # vs per-step gathers inside the scan)
-        batches = jax.vmap(lambda k: sampler.sample(k, config.tasks_per_batch)
-                           )(jax.random.split(k_sample, steps_per_call))
+        # vs per-step gathers inside the scan); split tensors arrive as
+        # arguments — closure capture would bake them into the module as
+        # constants (host round-trip at lowering, see DeviceSplit.arrays)
+        batches = jax.vmap(
+            lambda k: sampler.sample(k, config.tasks_per_batch, arrays)
+        )(jax.random.split(k_sample, steps_per_call))
         if data_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -209,11 +216,19 @@ def build_device_data_train_step(model, config, sampler,
         return state, {"loss": jnp.mean(losses), "last_loss": losses[-1]}
 
     if mesh_ctx is None:
-        return jax.jit(fused, donate_argnums=(0,) if config.donate else ())
-    repl = mesh_ctx.replicated
-    return jax.jit(fused, in_shardings=(repl, repl),
-                   out_shardings=(repl, repl),
-                   donate_argnums=(0,) if config.donate else ())
+        jitted = jax.jit(fused, donate_argnums=(0,) if config.donate else ())
+    else:
+        repl = mesh_ctx.replicated
+        jitted = jax.jit(fused, in_shardings=(repl, repl, repl),
+                         out_shardings=(repl, repl),
+                         donate_argnums=(0,) if config.donate else ())
+
+    def call(state, key):
+        return jitted(state, sampler.arrays(), key)
+
+    call._jitted = jitted          # AOT/cost-analysis handle (bench.py)
+    call._arrays = sampler.arrays
+    return call
 
 
 def build_eval_step(model, config, mesh_ctx: Optional[MeshContext] = None) -> Callable:
