@@ -66,12 +66,15 @@ class MAMLRegressor(nn.Module):
     def __call__(self, x, mask=None):
         """x [N, H, W, C] (one task) -> ([N, output_dim], kl)."""
         kl = 0.0
+        # pool_impl="slice": reduce-window lowers pathologically inside the
+        # second-order inner loop (22% of the outer step, RESULTS.md round 2)
         if self.bbb_encoder:
             w, kl = BBBLiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
+                                         pool_impl="slice",
                                          name="encoder_w")(x)
         else:
             w = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
-                                  name="encoder_w")(x)
+                                  pool_impl="slice", name="encoder_w")(x)
         side = int(self.dim_w ** 0.5)
         h = w.reshape(-1, side, side, 1)
         for i in range(4):

@@ -113,6 +113,7 @@ class BBBLiteratureEncoder(nn.Module):
 
     dim_w: int
     dtype: Optional[jnp.dtype] = None
+    pool_impl: str = "window"
 
     @nn.compact
     def __call__(self, x):
@@ -125,8 +126,8 @@ class BBBLiteratureEncoder(nn.Module):
                         dtype=self.dtype, name="conv1")(x)
         kl_total += kl
         x = nn.relu(x)
-        from wmfml_tpu.nn.encoders import max_pool_2x2
-        x = max_pool_2x2(x)
+        from wmfml_tpu.nn.encoders import max_pool2
+        x = max_pool2(x, self.pool_impl)
         x, kl = BBBConv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name="conv2")(x)
         kl_total += kl

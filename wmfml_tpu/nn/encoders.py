@@ -41,13 +41,23 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """MaxPool2d(2) as strided slices + elementwise maximum.
 
     XLA's reduce-window lowering for this shape measured ~3 ms per call on
-    v5e inside the MAML inner loop (22% of the whole outer step, see
-    RESULTS.md round 2); four slices + three maximums are pure VPU work,
-    and the backward is comparison masks instead of select-and-scatter.
+    v5e inside the second-order MAML inner loop (22% of the whole outer
+    step, RESULTS.md round 2); four slices + three maximums are pure VPU
+    work, and the backward is comparison masks instead of select-and-scatter.
+    Measured the other way on the first-order CNP/ANP step (2.31 -> 2.56
+    ms/step), so callers choose per context via ``pool_impl``.
     """
     a = jnp.maximum(x[:, 0::2, 0::2], x[:, 0::2, 1::2])
     b = jnp.maximum(x[:, 1::2, 0::2], x[:, 1::2, 1::2])
     return jnp.maximum(a, b)
+
+
+def max_pool2(x: jnp.ndarray, impl: str = "window") -> jnp.ndarray:
+    """2x2/stride-2 max pool; impl='slice' for loops XLA lowers badly
+    (second-order MAML), 'window' (reduce-window) elsewhere."""
+    if impl == "slice":
+        return max_pool_2x2(x)
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
 class LiteratureEncoder(nn.Module):
@@ -55,6 +65,7 @@ class LiteratureEncoder(nn.Module):
 
     dim_w: int
     dtype: Optional[jnp.dtype] = None
+    pool_impl: str = "window"
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
@@ -69,7 +80,7 @@ class LiteratureEncoder(nn.Module):
                     bias_init=torch_bias_init(32 * 9), dtype=self.dtype,
                     name="conv1")(x)
         x = nn.relu(x)
-        x = max_pool_2x2(x)
+        x = max_pool2(x, self.pool_impl)
         x = nn.Conv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                     kernel_init=torch_kernel_init,
                     bias_init=torch_bias_init(48 * 9), dtype=self.dtype,
