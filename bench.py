@@ -7,9 +7,9 @@ TA, reference production batch: tasks_per_batch=10, ctx 15, 128x128). TRUE
 end-to-end training: device-resident split, on-device episode sampling +
 augmentation + forward + backward + Adam in fused multi-step dispatches.
 
-Also measured (carried in the "extra" field, written to RESULTS.md by
-scripts/gen_results.py): ANP ShapeNet3D (online backgrounds), MAML and MMAML
-ShapeNet1D (5 inner steps, second order). Per workload we report
+Also measured (carried in the "extra" field; the driver records the full
+line in BENCH_r{N}.json): ANP ShapeNet3D (online backgrounds), MAML and
+MMAML ShapeNet1D (5 inner steps, second order). Per workload we report
 model FLOPs/step from XLA's own cost analysis of the compiled program,
 achieved FLOP/s, and MFU against the chip's bf16 peak.
 
@@ -132,12 +132,13 @@ def run_workload(name: str, cfg, calls: int) -> dict:
     arrays = step._arrays()
     compiled = step._jitted.lower(state, arrays,
                                   jax.random.fold_in(key, 0)).compile()
-    flops_per_call = None
+    flops_per_call = bytes_per_call = None
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_call = float(cost.get("flops", 0.0)) or None
+        bytes_per_call = float(cost.get("bytes accessed", 0.0)) or None
     except Exception:
         pass  # cost analysis is best-effort; throughput is still honest
 
@@ -163,6 +164,8 @@ def run_workload(name: str, cfg, calls: int) -> dict:
         out["gflops_per_step"] = round(flops_per_call / K / 1e9, 2)
         out["tflops_per_sec"] = round(achieved / 1e12, 2)
         out["mfu_pct"] = round(100 * achieved / chip_peak(), 2)
+    if bytes_per_call:
+        out["hbm_gb_per_sec"] = round(bytes_per_call * calls / dt / 1e9, 1)
     return out
 
 

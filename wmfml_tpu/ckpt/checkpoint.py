@@ -44,6 +44,10 @@ class CheckpointManager:
         return os.path.join(self.models_dir, name)
 
     def save(self, name: str, state: "TrainState", extra: Optional[dict] = None):
+        """Async save: returns once the device arrays are snapshotted; disk
+        serialization overlaps subsequent training (preemption-recovery
+        pattern, SURVEY §5 checkpoint plan). Ordering is preserved by
+        waiting out any in-flight save first."""
         payload = {
             "step": state.step,
             "params": state.params,
@@ -53,10 +57,15 @@ class CheckpointManager:
         if extra:
             payload["extra"] = extra
         path = self._path(name)
+        self._ckpt.wait_until_finished()   # previous async save, if any
         self._ckpt.save(path, payload, force=True)
+
+    def wait(self):
+        """Block until the last async save is durable on disk."""
         self._ckpt.wait_until_finished()
 
     def restore(self, name_or_path: str, state: "TrainState") -> "TrainState":
+        self._ckpt.wait_until_finished()
         if os.path.isabs(name_or_path) or os.path.exists(name_or_path):
             path = os.path.abspath(name_or_path)  # explicit path (any cwd-rel)
         else:

@@ -215,6 +215,7 @@ class ModelTrainer:
         finally:
             if prefetch is not None:
                 prefetch.close()
+            self.ckpt.wait()   # drain the async checkpoint queue
             self.writer.flush()
 
     def _guard(self, step_idx: int, device_loss) -> float:
