@@ -12,6 +12,8 @@ from wmfml_tpu.eval.evaluator import ModelEvaluator
 from wmfml_tpu.eval.plotting import evaluate_and_plot
 from wmfml_tpu.models.registry import build_model
 
+pytestmark = __import__("pytest").mark.slow  # multi-minute CPU smoke
+
 DATA_ROOT = os.path.join(os.path.dirname(__file__), "..", "data_synth")
 
 

@@ -16,6 +16,8 @@ from wmfml_tpu.data.factory import build_data
 from wmfml_tpu.eval.evaluator import ModelEvaluator
 from wmfml_tpu.models.registry import build_model
 
+pytestmark = __import__("pytest").mark.slow  # multi-minute CPU smoke
+
 DATA_ROOT = os.path.join(os.path.dirname(__file__), "..", "data_synth")
 
 BASE = dict(

@@ -11,6 +11,8 @@ from wmfml_tpu.train.maml import (build_maml_outer, init_step_sizes,
                                   partition_params)
 
 
+pytestmark = __import__("pytest").mark.slow  # multi-minute CPU smoke
+
 def _episode(cfg, seed=0):
     rng = np.random.RandomState(seed)
     h, w, c = cfg.img_size

@@ -8,6 +8,8 @@ from tests.test_models_np import episode, make_cfg
 from wmfml_tpu.models.registry import build_model
 
 
+pytestmark = __import__("pytest").mark.slow  # multi-minute CPU smoke
+
 def mmaml_cfg(**kw):
     d = dict(method="MMAMLShapeNet1D", task="shapenet_1d",
              num_filters=32, num_updates=2, test_num_updates=2,

@@ -9,6 +9,8 @@ from tests.test_models_np import BASE, episode, init_and_apply, make_cfg
 from wmfml_tpu.models.registry import build_model
 
 
+pytestmark = __import__("pytest").mark.slow  # multi-minute CPU smoke
+
 @pytest.mark.parametrize("method,task,agg", [
     ("CNPMRShapeNet1D", "shapenet_1d", "max"),
     ("ANPMRShapeNet1D", "shapenet_1d", "attention"),

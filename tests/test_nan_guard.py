@@ -19,6 +19,8 @@ from wmfml_tpu.models.registry import build_model
 from wmfml_tpu.obs import NonFiniteLossError
 from wmfml_tpu.train.trainer import ModelTrainer
 
+pytestmark = __import__("pytest").mark.slow  # multi-minute CPU smoke
+
 DATA_ROOT = os.path.join(os.path.dirname(__file__), "..", "data_synth")
 
 

@@ -11,6 +11,8 @@ from wmfml_tpu.data.synthetic import ensure_dataset
 from wmfml_tpu.models.registry import build_model
 from wmfml_tpu.train.trainer import ModelTrainer
 
+pytestmark = __import__("pytest").mark.slow  # multi-minute CPU smoke
+
 DATA_ROOT = os.path.join(os.path.dirname(__file__), "..", "data_synth")
 
 
