@@ -487,3 +487,69 @@ def import_torch_checkpoint(method: str, sd_numpy: Dict[str, np.ndarray],
             f"no torch importer for {method}; available: "
             f"{sorted(MODEL_IMPORTERS)}")
     return MODEL_IMPORTERS[method](sd_numpy, **kw)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint= flag integration: reference .pt files load directly
+# ---------------------------------------------------------------------------
+
+def _config_importer_kwargs(config) -> dict:
+    """Per-method importer kwargs derived from the run config (the lambdas
+    in MODEL_IMPORTERS already pin family-specific choices like
+    agg_mode='attention'; only pass what each accepts)."""
+    m = config.method
+    n_hidden = (len(config.n_hidden_units_r) if config.n_hidden_units_r
+                else 2)
+    img_agg = config.img_agg or None
+    if m in ("CNPShapeNet1D", "CNPVanillaPascal1D", "FCLCNPShapeNet1D",
+             "CNPMR", "CNPMRShapeNet1D"):
+        return dict(n_hidden=n_hidden, agg_mode=config.agg_mode or "max")
+    if m in ("ANPShapeNet1D", "ANPVanillaPascal1D", "ANPMR",
+             "ANPMRShapeNet1D", "SingleTaskShapeNet1D"):
+        return dict(n_hidden=n_hidden)
+    if m == "CondNeuralProcess":
+        return dict(agg_mode=config.agg_mode or "max",
+                    img_agg=img_agg or "reshape")
+    if m in ("ANP", "FCLANP", "ANPMRShapeNet3D", "SingleTaskShapeNet3D"):
+        return dict(img_agg=img_agg or "reshape")
+    if m in ("CNPDistractor", "FCLCNPDistractor"):
+        return dict(agg_mode=config.agg_mode or "max",
+                    img_agg=img_agg or "max")
+    if m in ("ANPDistractor", "SingleTaskDistractor"):
+        return dict(img_agg=img_agg or "max")
+    return {}
+
+
+def load_torch_variables(config, path: str) -> dict:
+    """Load a reference .pt checkpoint into flax variables for config.method.
+
+    Handles the MMAML combined dict (trainer/meta_learner_reg.py:218-227:
+    {'model_state_dict', 'embedding_model_state_dict', 'optimizers'}) by
+    re-prefixing the two sub-state-dicts."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "model_state_dict" in raw:
+        sd = {}
+        for k, v in raw["model_state_dict"].items():
+            sd[f"model.{k}"] = v
+        for k, v in raw.get("embedding_model_state_dict", {}).items():
+            sd[f"embedding_model.{k}"] = v
+    elif isinstance(raw, dict) and "state_dict" in raw:
+        sd = raw["state_dict"]
+    else:
+        sd = raw
+    return import_torch_checkpoint(config.method, state_dict_to_numpy(sd),
+                                   **_config_importer_kwargs(config))
+
+
+def maybe_restore_torch(config, path: str, state):
+    """If ``path`` is a torch checkpoint file, import it into ``state``
+    (model weights + aux buffers; optimizer state stays fresh — the
+    reference's .pt files carry only the model). Returns None otherwise."""
+    if not (isinstance(path, str) and path.endswith((".pt", ".pth"))):
+        return None
+    variables = load_torch_variables(config, path)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    return state.replace(params=variables["params"],
+                         extra_vars={**state.extra_vars, **extra})

@@ -48,8 +48,18 @@ class ModelEvaluator:
             variables = init_model(model, config, self.base_key)
             state = TrainState.create(variables, tx)
             if config.checkpoint:
-                state = self.ckpt.restore(config.checkpoint, state)
-                self.logger.info(f"loaded checkpoint {config.checkpoint}")
+                from wmfml_tpu.ckpt.torch_import import maybe_restore_torch
+
+                torch_state = maybe_restore_torch(config, config.checkpoint,
+                                                  state)
+                if torch_state is not None:  # reference .pt checkpoint
+                    state = torch_state
+                    self.logger.info(
+                        f"imported torch checkpoint {config.checkpoint}")
+                else:
+                    state = self.ckpt.restore(config.checkpoint, state)
+                    self.logger.info(
+                        f"loaded checkpoint {config.checkpoint}")
         self.state = jax.device_put(state, self.mesh.replicated)
         self.eval_step = build_eval_step(model, config, self.mesh)
         self._refine_step = None  # built lazily
@@ -157,6 +167,7 @@ class ModelEvaluator:
         self.ckpt.save("model", self.state)
         self._plot_loss_vs_ctx(index, val_losses, val_std, test_losses,
                                test_std)
+        self.ckpt.wait()   # drain the async checkpoint queue before exit
         self.logger.info("================= Evaluation finished =================")
         return val_losses, test_losses
 
@@ -168,6 +179,7 @@ class ModelEvaluator:
                    np.column_stack((index, test_losses, test_std)), fmt="%1.4f")
         self.ckpt.save("model", self.state)
         self._plot_loss_vs_ctx(index, None, None, test_losses, test_std)
+        self.ckpt.wait()
         return test_losses
 
     # ------------------------------------------------------------------
@@ -225,6 +237,7 @@ class ModelEvaluator:
                             f.write(f"Best test Loss: \n{test_loss}\n")
                             f.write(f"Best test Loss std: \n{std}\n")
         self.ckpt.save(f"model_end_{cfg.iterations}", self.state)
+        self.ckpt.wait()
         return self.best_loss["test"], best_step
 
     # ------------------------------------------------------------------

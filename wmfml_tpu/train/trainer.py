@@ -98,9 +98,18 @@ class ModelTrainer:
         self._build_steps(tx)
 
         if config.checkpoint:
-            self.state = self.ckpt.restore(config.checkpoint, self.state)
-            self.logger.info(f"resumed from {config.checkpoint} "
-                             f"at step {int(self.state.step)}")
+            from wmfml_tpu.ckpt.torch_import import maybe_restore_torch
+
+            torch_state = maybe_restore_torch(config, config.checkpoint,
+                                              self.state)
+            if torch_state is not None:     # reference .pt checkpoint
+                self.state = jax.device_put(torch_state, self.mesh.replicated)
+                self.logger.info(
+                    f"imported torch checkpoint {config.checkpoint}")
+            else:
+                self.state = self.ckpt.restore(config.checkpoint, self.state)
+                self.logger.info(f"resumed from {config.checkpoint} "
+                                 f"at step {int(self.state.step)}")
 
     # -- overridable by MAML/MMAML subclasses ---------------------------
 
