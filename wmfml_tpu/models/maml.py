@@ -41,16 +41,26 @@ def masked_batch_norm(x, mask, scale, bias, eps: float = 1e-5):
     """BatchNorm2d over (N, H, W) using only mask==True rows of N.
 
     x [N, H, W, C]; mask [N] or None; scale/bias [C].
+
+    Single-pass statistics (E[x^2] - E[x]^2, f32 accumulation): the
+    two-pass mean-then-centered-variance form costs a second full read of x
+    and was 27% of the MMAML outer step on v5e (multiply_reduce fusions);
+    both sums here fuse into one traversal.
     """
+    f32 = jnp.float32
     if mask is None:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        denom = f32(x.shape[0] * x.shape[1] * x.shape[2])
+        s1 = jnp.sum(x, axis=(0, 1, 2), dtype=f32)
+        s2 = jnp.sum(jnp.square(x), axis=(0, 1, 2), dtype=f32)
     else:
         m = mask[:, None, None, None].astype(x.dtype)
-        denom = jnp.maximum(jnp.sum(m) * x.shape[1] * x.shape[2], 1.0)
-        mean = jnp.sum(x * m, axis=(0, 1, 2)) / denom
-        var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1, 2)) / denom
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+        denom = jnp.maximum(
+            jnp.sum(m, dtype=f32) * x.shape[1] * x.shape[2], 1.0)
+        s1 = jnp.sum(x * m, axis=(0, 1, 2), dtype=f32)
+        s2 = jnp.sum(jnp.square(x) * m, axis=(0, 1, 2), dtype=f32)
+    mean = s1 / denom
+    var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+    y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + eps).astype(x.dtype)
     return y * scale + bias
 
 
