@@ -170,6 +170,27 @@ class ShapeNet3DData(BaseData):
         bg_idx = rng.randint(0, self.bg_imgs.shape[0], size=flat.shape[0])
         composite_backgrounds(flat, self.bg_imgs, bg_idx)
 
+    def generate_and_save_data(self, out_path: str):
+        """One-off builder: composite random backgrounds into every split and
+        dump the reference pickle layout (dataset/shapenet_3d.py:269-283 —
+        there it writes a hard-coded ./data path; here the destination is an
+        argument)."""
+        rng = self.train_rng
+        os.makedirs(out_path, exist_ok=True)
+        for split, name in [("train", "train"), ("validation", "val"),
+                            ("test", "test")]:
+            self._composite_split(split, rng)
+            s = self.splits[split]
+            n_items, v = s["n_items"], self.instances_per_item
+            flat = s["images"].reshape(n_items * v, *s["images"].shape[2:])
+            item_indices = np.repeat(np.arange(n_items), v)
+            q = s["Q"].reshape(n_items * v, 4)
+            with open(os.path.join(
+                    out_path, f"shapenet3d_azi180ele30_{name}.pkl"),
+                    "wb") as f:
+                pickle.dump({"images": flat, "item_indices": item_indices,
+                             "Q": q}, f)
+
     def gen_bg(self, config, data: str = "all"):
         rng = self.train_rng
         if data == "all":
