@@ -39,7 +39,8 @@ class DeviceEpisodeSampler:
     def __init__(self, task: str, x: np.ndarray, y: np.ndarray,
                  max_ctx: int, query: int, shot_min: int,
                  bg_images: Optional[np.ndarray] = None,
-                 gen_bg: bool = False, label_scale: float = 1.0):
+                 gen_bg: bool = False, label_scale: float = 1.0,
+                 store_dtype=None):
         self.task = task
         self.max_ctx = max_ctx
         self.query = query
@@ -49,6 +50,14 @@ class DeviceEpisodeSampler:
         self.n_groups, self.n_inst = x.shape[0], x.shape[1]
         assert self.n_inst >= max_ctx + query, (
             f"need {max_ctx + query} instances, have {self.n_inst}")
+        # float splits (ShapeNet3D) stored at the training compute dtype:
+        # when the step computes in bf16 anyway, a bf16 split halves both
+        # HBM residency and the per-step gather traffic (the 3D workload is
+        # HBM-saturated — RESULTS.md roofline); uint8 splits stay uint8
+        if store_dtype is not None and np.issubdtype(x.dtype, np.floating):
+            x = x.astype(store_dtype)
+            if bg_images is not None:
+                bg_images = np.asarray(bg_images, store_dtype)
         self.x = jax.device_put(x)
         self.y = jax.device_put(np.asarray(y, np.float32))
         self.bg = jax.device_put(bg_images) if self.gen_bg else None
@@ -133,6 +142,11 @@ def from_dataset(data, config) -> Optional[DeviceEpisodeSampler]:
         return None
     if x.shape[1] < config.max_ctx_num + config.query_num:
         return None
+    import jax.numpy as jnp
+
+    store_dtype = (jnp.bfloat16
+                   if getattr(config, "compute_dtype", "") == "bfloat16"
+                   else None)
     return DeviceEpisodeSampler(
         task, x, y, max_ctx=config.max_ctx_num, query=config.query_num,
-        **kwargs)
+        store_dtype=store_dtype, **kwargs)
