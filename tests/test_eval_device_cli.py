@@ -35,6 +35,9 @@ CASES = [
     ("CNPDistractor", "distractor", dict(agg_mode="max", img_agg="max",
                                          dim_w=16)),
     ("CNPVanillaPascal1D", "pascal_1d", dict(agg_mode="max")),
+    # stochastic model: BBB samples weights at eval; passes only because the
+    # device sweep consumes the HOST path's exact per-batch rng keys
+    ("CNPMRShapeNet1D", "shapenet_1d", dict(agg_mode="max")),
 ]
 
 

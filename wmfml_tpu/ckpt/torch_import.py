@@ -550,6 +550,11 @@ def maybe_restore_torch(config, path: str, state):
     if not (isinstance(path, str) and path.endswith((".pt", ".pth"))):
         return None
     variables = load_torch_variables(config, path)
+    params = variables["params"]
+    if (isinstance(state.params, dict)
+            and set(state.params) == {"net", "step_size"}):
+        # learn_step_size wraps the model tree; keep the fresh step sizes
+        params = {"net": params, "step_size": state.params["step_size"]}
     extra = {k: v for k, v in variables.items() if k != "params"}
-    return state.replace(params=variables["params"],
+    return state.replace(params=params,
                          extra_vars={**state.extra_vars, **extra})

@@ -97,8 +97,10 @@ def build_device_eval_sweep(model, config, split: DeviceSplit, mesh_ctx=None):
     loss_func = LossFunc(config.loss_type, config.task)
     forward = make_forward(model, config, train=False)
 
-    def sweep(state, arrays, cls, ctx_idx, qry_idx, key):
-        keys = jax.random.split(key, cls.shape[0])
+    def sweep(state, arrays, cls, ctx_idx, qry_idx, keys):
+        # keys [V, 2]: the HOST path's per-batch rng keys, passed verbatim so
+        # stochastic models (BBB eval sampling) score identically on either
+        # path — not just the same episode indices
 
         def one(_, inp):
             cls_b, ci, qi, k = inp
@@ -117,8 +119,8 @@ def build_device_eval_sweep(model, config, split: DeviceSplit, mesh_ctx=None):
         repl = mesh_ctx.replicated
         jitted = jax.jit(sweep, in_shardings=(repl,) * 6, out_shardings=repl)
 
-    def call(state, cls, ctx_idx, qry_idx, key):
-        return jitted(state, split.arrays(), cls, ctx_idx, qry_idx, key)
+    def call(state, cls, ctx_idx, qry_idx, keys):
+        return jitted(state, split.arrays(), cls, ctx_idx, qry_idx, keys)
 
     return call
 
@@ -136,8 +138,8 @@ def build_device_eval_ctx_sweep(model, config, split: DeviceSplit,
     loss_func = LossFunc(config.loss_type, config.task)
     forward = make_forward(model, config, train=False)
 
-    def sweep(state, arrays, cls, ctx_idx, shots, qry_idx, key):
-        keys = jax.random.split(key, cls.shape[0])
+    def sweep(state, arrays, cls, ctx_idx, shots, qry_idx, keys):
+        # keys [V, 2]: host-path per-batch rng keys (see build_device_eval_sweep)
         s = ctx_idx.shape[-1]
 
         def one(_, inp):
@@ -159,8 +161,8 @@ def build_device_eval_ctx_sweep(model, config, split: DeviceSplit,
         repl = mesh_ctx.replicated
         jitted = jax.jit(sweep, in_shardings=(repl,) * 7, out_shardings=repl)
 
-    def call(state, cls, ctx_idx, shots, qry_idx, key):
+    def call(state, cls, ctx_idx, shots, qry_idx, keys):
         return jitted(state, split.arrays(), cls, ctx_idx, shots, qry_idx,
-                      key)
+                      keys)
 
     return call

@@ -18,6 +18,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from wmfml_tpu.ckpt.checkpoint import CheckpointManager
@@ -110,9 +111,12 @@ class ModelEvaluator:
                 ctx.append(ci)
                 shots.append(shot)
                 qry.append(take if eval_mode else take[:, shot:shot + q])
-        key = jax.random.fold_in(self.base_key, 20_000_000)
+        # per-batch keys identical to the host _validate_iter stream, so
+        # stochastic (BBB) models score the same on either path
+        keys = jnp.stack([jax.random.fold_in(self.base_key, 20_000_000 + v)
+                          for v in range(vi)] * s)
         losses = sweep(self.state, np.stack(cls), np.stack(ctx),
-                       np.asarray(shots, np.int32), np.stack(qry), key)
+                       np.asarray(shots, np.int32), np.stack(qry), keys)
         per_ctx = np.asarray(jax.device_get(losses),
                              np.float64).reshape(s, vi)
         means = [float(m) for m in per_ctx.mean(axis=1)]

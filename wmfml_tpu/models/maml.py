@@ -37,10 +37,10 @@ from wmfml_tpu.nn.encoders import LiteratureEncoder
 from wmfml_tpu.nn.mlp import Dense
 
 
-def masked_batch_norm(x, mask, scale, bias, eps: float = 1e-5):
+def masked_batch_norm(x, mask, scale=None, bias=None, eps: float = 1e-5):
     """BatchNorm2d over (N, H, W) using only mask==True rows of N.
 
-    x [N, H, W, C]; mask [N] or None; scale/bias [C].
+    x [N, H, W, C]; mask [N] or None; scale/bias [C] or None (no affine).
 
     Single-pass statistics (E[x^2] - E[x]^2, f32 accumulation): the
     two-pass mean-then-centered-variance form costs a second full read of x
@@ -61,6 +61,8 @@ def masked_batch_norm(x, mask, scale, bias, eps: float = 1e-5):
     mean = s1 / denom
     var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
     y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + eps).astype(x.dtype)
+    if scale is None:
+        return y
     return y * scale + bias
 
 

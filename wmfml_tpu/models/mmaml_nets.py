@@ -29,24 +29,11 @@ from wmfml_tpu.nn.mlp import Dense
 
 
 def _batch_stats_norm(x, mask, eps: float = 1e-5):
-    """Normalize [N, H, W, C] by masked batch statistics (no affine).
+    """Normalize [N, H, W, C] by masked batch statistics (no affine);
+    shares the single-pass implementation in models/maml.py."""
+    from wmfml_tpu.models.maml import masked_batch_norm
 
-    Single-pass E[x^2] - E[x]^2 with f32 accumulation — see
-    models/maml.py masked_batch_norm for the measured rationale."""
-    f32 = jnp.float32
-    if mask is None:
-        denom = f32(x.shape[0] * x.shape[1] * x.shape[2])
-        s1 = jnp.sum(x, axis=(0, 1, 2), dtype=f32)
-        s2 = jnp.sum(jnp.square(x), axis=(0, 1, 2), dtype=f32)
-    else:
-        m = mask[:, None, None, None].astype(x.dtype)
-        denom = jnp.maximum(
-            jnp.sum(m, dtype=f32) * x.shape[1] * x.shape[2], 1.0)
-        s1 = jnp.sum(x * m, axis=(0, 1, 2), dtype=f32)
-        s2 = jnp.sum(jnp.square(x) * m, axis=(0, 1, 2), dtype=f32)
-    mean = s1 / denom
-    var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
-    return (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return masked_batch_norm(x, mask, eps=eps)
 
 
 class GatedConvNet(nn.Module):

@@ -47,6 +47,8 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     Measured the other way on the first-order CNP/ANP step (2.31 -> 2.56
     ms/step), so callers choose per context via ``pool_impl``.
     """
+    h, w = x.shape[1] // 2 * 2, x.shape[2] // 2 * 2
+    x = x[:, :h, :w]   # floor semantics for odd dims, like reduce-window
     a = jnp.maximum(x[:, 0::2, 0::2], x[:, 0::2, 1::2])
     b = jnp.maximum(x[:, 1::2, 0::2], x[:, 1::2, 1::2])
     return jnp.maximum(a, b)

@@ -267,9 +267,15 @@ class ModelTrainer:
             cls.append(groups)
             ctx_i.append(take[:, :s])
             qry_i.append(take[:, s:s + cfg.query_num])
-        key = jax.random.fold_in(self.base_key, 10_000_000)
+        import jax.numpy as jnp
+
+        # per-batch keys identical to the host validate stream (stochastic
+        # BBB models must score the same on either path)
+        keys = jnp.stack([jax.random.fold_in(self.base_key, 10_000_000 + v)
+                          for v in range(cfg.val_iters)])
         losses = self._device_eval[source](
-            self.state, np.stack(cls), np.stack(ctx_i), np.stack(qry_i), key)
+            self.state, np.stack(cls), np.stack(ctx_i), np.stack(qry_i),
+            keys)
         return list(np.asarray(jax.device_get(losses)))
 
     # ------------------------------------------------------------------
