@@ -1,0 +1,67 @@
+"""MAML/MMAML device-resident validation == host-streamed validation.
+
+With test_num_updates=20 the reference-cadence validation sweep costs as
+much wall clock as the training window it interrupts; round 2 moved it on
+device (gather from the HBM split + adapted eval, one dispatch). Same
+episode indices AND the same per-batch rng keys as the host stream."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_models_np import make_cfg
+from wmfml_tpu.data.shapenet_1d import ShapeNet1D
+from wmfml_tpu.data.synthetic import ensure_dataset
+from wmfml_tpu.models.registry import build_model
+
+pytestmark = pytest.mark.slow  # multi-minute CPU smoke
+
+DATA_ROOT = os.path.join(os.path.dirname(__file__), "..", "data_synth")
+
+
+def _data(cfg):
+    root = ensure_dataset("shapenet_1d", DATA_ROOT)
+    return ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
+                      max_ctx=cfg.max_ctx_num, query_num=cfg.query_num)
+
+
+def _host_losses(trainer, cfg, source="validation"):
+    import jax
+
+    trainer.data.reset_eval(source, 42)
+    out = []
+    for v in range(cfg.val_iters):
+        batch = trainer.mesh.put_batch(
+            trainer.data.get_batch(source, cfg.tasks_per_batch,
+                                   cfg.max_ctx_num))
+        key = jax.random.fold_in(trainer.base_key, 10_000_000 + v)
+        out.append(float(trainer.eval_step(trainer.state, batch, key)))
+    return out
+
+
+@pytest.mark.parametrize("method", ["MAMLShapeNet1D", "MMAMLShapeNet1D"])
+def test_adapted_device_validate_matches_host(tmp_path, method):
+    cfg = make_cfg(method=method, task="shapenet_1d", agg_mode=None,
+                   aug_list=[], iterations=2, val_freq=10, val_iters=3,
+                   data_size="small", tasks_per_batch=2, max_ctx_num=5,
+                   query_num=4, dim_w=36, num_filters=8, num_updates=2,
+                   test_num_updates=2, first_order=False, update_lr=0.01,
+                   beta=0.0)
+    cfg.results_root = str(tmp_path)
+    cfg.save_path = str(tmp_path / f"run_{method}")
+    cfg.create_dirs()
+    data = _data(cfg)
+    if method == "MMAMLShapeNet1D":
+        from wmfml_tpu.train.mmaml import MMAMLTrainer as Trainer
+    else:
+        from wmfml_tpu.train.maml import MAMLTrainer as Trainer
+    trainer = Trainer(build_model(cfg), cfg, data)
+    assert trainer.device_sampler is not None
+    trainer._setup_device_eval()
+    assert "validation" in trainer._device_eval
+
+    dev = trainer._device_validate("validation")
+    host = _host_losses(trainer, cfg)
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(host),
+                               rtol=1e-4, atol=1e-5)

@@ -261,3 +261,56 @@ class MAMLTrainer(ModelTrainer):
                   qry_y=data)
         self.eval_step = jax.jit(eval_step, in_shardings=(repl, bs, repl),
                                  out_shardings=repl)
+        # device-resident validation: with test_num_steps=20 inner steps the
+        # host-streamed val sweep costs as much wall clock as the training
+        # window it interrupts
+        self._eval_pre_fn = (lambda params, batch, key:
+                             eval_outer(params, batch, key)[1])
+        self._want_device_eval = self.device_sampler is not None
+
+    def _setup_device_eval(self):
+        setup_outer_device_eval(self)
+
+
+def build_outer_device_sweep(pre_fn, mesh, split):
+    """Device-resident validate sweep over an adaptation-style eval fn:
+    gather each batch from the HBM split, run pre_fn(params, batch, key),
+    all val_iters batches in one dispatch. Same call signature as
+    ModelTrainer's sweeps, so trainer._device_validate just works."""
+    repl = mesh.replicated
+
+    def sweep(state, arrays, cls, ctx_idx, qry_idx, keys):
+        def one(_, inp):
+            c, ci, qi, k = inp
+            batch = split.gather(c, ci, qi, arrays=arrays)
+            return None, pre_fn(state.params, batch, k)
+
+        _, losses = jax.lax.scan(one, None, (cls, ctx_idx, qry_idx, keys))
+        return losses
+
+    jitted = jax.jit(sweep, in_shardings=(repl,) * 6, out_shardings=repl)
+
+    def call(state, cls, ctx_idx, qry_idx, keys):
+        return jitted(state, split.arrays(), cls, ctx_idx, qry_idx, keys)
+
+    return call
+
+
+def setup_outer_device_eval(trainer):
+    """Install device-resident validate sweeps on a MAML/MMAML trainer
+    (the adapted-eval analog of ModelTrainer._setup_device_eval)."""
+    trainer._device_eval = {}
+    if not hasattr(trainer.data, "get_batch_indices"):
+        return
+    from wmfml_tpu.data.device_eval import split_from_dataset
+
+    sources = ["validation"] + ([] if trainer.config.task == "pascal_1d"
+                                else ["test"])
+    for source in sources:
+        split = split_from_dataset(trainer.data, trainer.config, source)
+        if split is not None:
+            trainer._device_eval[source] = build_outer_device_sweep(
+                trainer._eval_pre_fn, trainer.mesh, split)
+    if trainer._device_eval:
+        trainer.logger.info(
+            f"eval splits resident in HBM: {sorted(trainer._device_eval)}")

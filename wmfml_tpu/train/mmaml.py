@@ -218,3 +218,10 @@ class MMAMLTrainer(ModelTrainer):
                   qry_y=data)
         self.eval_step = jax.jit(eval_step, in_shardings=(repl, bs, repl),
                                  out_shardings=repl)
+        self._eval_pre_fn = eval_outer
+        self._want_device_eval = self.device_sampler is not None
+
+    def _setup_device_eval(self):
+        from wmfml_tpu.train.maml import setup_outer_device_eval
+
+        setup_outer_device_eval(self)
