@@ -100,7 +100,11 @@ def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
     learn_ss = bool(getattr(config, "learn_step_size", False))
     per_param_ss = bool(getattr(config, "per_param_step_size", False))
     remat_mode = str(getattr(config, "maml_remat", "none") or "none")
-    unroll = int(getattr(config, "maml_unroll", 0) or 0) or num_steps
+    # train: fully unrolled by default (straight-line second-order graph,
+    # measured fastest); eval: scan — test_num_steps is 10-20 and unrolling
+    # it only multiplies compile time (no outer grad to schedule around)
+    unroll = (int(getattr(config, "maml_unroll", 0) or 0)
+              or (num_steps if train else 1))
 
     def outer(params, batch, key):
         if learn_ss:
@@ -197,9 +201,14 @@ class MAMLTrainer(ModelTrainer):
         cfg = self.config
         h, w, c = cfg.img_size
         c = c - 1 if cfg.task == "shapenet_3d" else c
-        x = jnp.zeros((cfg.max_ctx_num, h, w, c), jnp.float32)
-        k1, k2 = jax.random.split(key)
-        variables = self.model.init({"params": k1, "bbb": k2}, x, mask=None)
+
+        @jax.jit  # one program instead of per-op eager dispatches
+        def init(key):
+            x = jnp.zeros((cfg.max_ctx_num, h, w, c), jnp.float32)
+            k1, k2 = jax.random.split(key)
+            return self.model.init({"params": k1, "bbb": k2}, x, mask=None)
+
+        variables = init(key)
         if getattr(cfg, "learn_step_size", False):
             variables = {"params": {
                 "net": variables["params"],

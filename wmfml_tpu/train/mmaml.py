@@ -54,7 +54,9 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
     fast_lr = float(config.update_lr)
     first_order = bool(config.first_order)
     remat_mode = str(getattr(config, "maml_remat", "none") or "none")
-    unroll = int(getattr(config, "maml_unroll", 0) or 0) or num_steps
+    # see build_maml_outer: unroll for train, scan for eval
+    unroll = (int(getattr(config, "maml_unroll", 0) or 0)
+              or (num_steps if train else 1))
 
     def outer(params, batch, key):
         pbatch = process(key, batch)
@@ -153,20 +155,29 @@ class MMAMLTrainer(ModelTrainer):
         cfg = self.config
         h, w, c = cfg.img_size
         c = c - 1 if cfg.task == "shapenet_3d" else c
-        x = jnp.zeros((cfg.max_ctx_num, h, w, c), jnp.float32)
-        k1, k2 = jax.random.split(key)
-        embed_vars = self.bundle.embed.init({"params": k2}, x, mask=None)
-        embeddings = self.bundle.embed.apply(embed_vars, x, mask=None)
-        gated_vars = self.bundle.gated.init({"params": k1}, x,
-                                            embeddings=embeddings, mask=None)
-        return {"params": {"model": gated_vars["params"],
-                           "embedding": embed_vars["params"]}}
+
+        # jit: eager init is ~100 individual dispatches, each paying a
+        # remote per-op compile on this platform (minutes of wall clock)
+        @jax.jit
+        def init(key):
+            x = jnp.zeros((cfg.max_ctx_num, h, w, c), jnp.float32)
+            k1, k2 = jax.random.split(key)
+            embed_vars = self.bundle.embed.init({"params": k2}, x, mask=None)
+            embeddings = self.bundle.embed.apply(embed_vars, x, mask=None)
+            gated_vars = self.bundle.gated.init(
+                {"params": k1}, x, embeddings=embeddings, mask=None)
+            return {"params": {"model": gated_vars["params"],
+                               "embedding": embed_vars["params"]}}
+
+        return init(key)
 
     def _build_steps(self, tx):
         config, mesh = self.config, self.mesh
         tx = build_mmaml_optimizer(config)
-        # rebuild opt_state for the multi-transform optimizer
-        self.state = self.state.replace(opt_state=tx.init(self.state.params))
+        # rebuild opt_state for the multi-transform optimizer (jitted: see
+        # TrainState.create)
+        self.state = self.state.replace(
+            opt_state=jax.jit(tx.init)(self.state.params))
         train_outer = build_mmaml_outer(self.bundle, config,
                                         int(config.num_steps or 5),
                                         train=True, test=False)

@@ -20,8 +20,10 @@ class TrainState(struct.PyTreeNode):
     def create(cls, variables, tx):
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
+        # jit the optimizer init: eagerly it is one dispatch per moment
+        # leaf, each paying a remote per-op compile on the axon platform
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   extra_vars=extra, opt_state=tx.init(params))
+                   extra_vars=extra, opt_state=jax.jit(tx.init)(params))
 
     def model_variables(self):
         return {"params": self.params, **self.extra_vars}

@@ -251,15 +251,22 @@ def build_eval_step(model, config, mesh_ctx: Optional[MeshContext] = None) -> Ca
 
 
 def init_model(model, config, key):
-    """Initialize variables on abstract episode shapes."""
+    """Initialize variables on abstract episode shapes (jitted: eager init
+    is hundreds of individual dispatches, each paying a remote per-op
+    compile on the axon platform)."""
     h, w, c = config.img_size
     t, s, q = config.tasks_per_batch, config.max_ctx_num, config.query_num
     c_model = c - 1 if config.task == "shapenet_3d" else c
     dtype = _compute_dtype(config)
-    ctx_x = jnp.zeros((t, s, h, w, c_model), dtype)
-    qry_x = jnp.zeros((t, q, h, w, c_model), dtype)
-    ctx_y = jnp.zeros((t, s, config.input_dim), jnp.float32)
-    mask = jnp.ones((t, s), bool)
-    k_init, k_model = jax.random.split(key)
-    return model.init({"params": k_init, **_model_rngs(k_model)},
-                      ctx_x, ctx_y, qry_x, ctx_mask=mask, train=False)
+
+    @jax.jit
+    def init(key):
+        ctx_x = jnp.zeros((t, s, h, w, c_model), dtype)
+        qry_x = jnp.zeros((t, q, h, w, c_model), dtype)
+        ctx_y = jnp.zeros((t, s, config.input_dim), jnp.float32)
+        mask = jnp.ones((t, s), bool)
+        k_init, k_model = jax.random.split(key)
+        return model.init({"params": k_init, **_model_rngs(k_model)},
+                          ctx_x, ctx_y, qry_x, ctx_mask=mask, train=False)
+
+    return init(key)
