@@ -553,7 +553,13 @@ def maybe_restore_torch(config, path: str, state):
     params = variables["params"]
     if (isinstance(state.params, dict)
             and set(state.params) == {"net", "step_size"}):
-        # learn_step_size wraps the model tree; keep the fresh step sizes
+        # learn_step_size wraps the model tree; reference .pt files carry no
+        # step sizes, so they start fresh at update_lr — say so out loud
+        import logging
+
+        logging.getLogger().warning(
+            "torch checkpoint carries no inner step sizes; "
+            "learn_step_size starts fresh at update_lr=%s", config.update_lr)
         params = {"net": params, "step_size": state.params["step_size"]}
     extra = {k: v for k, v in variables.items() if k != "params"}
     return state.replace(params=params,

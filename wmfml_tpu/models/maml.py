@@ -62,6 +62,7 @@ def masked_batch_norm(x, mask, scale=None, bias=None, eps: float = 1e-5):
     var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
     y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var + eps).astype(x.dtype)
     if scale is None:
+        assert bias is None, "pass both scale and bias, or neither"
         return y
     return y * scale + bias
 

@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from wmfml_tpu.models.maml import masked_batch_norm
 from wmfml_tpu.nn.init import torch_bias_init, torch_kernel_init
 from wmfml_tpu.nn.mlp import Dense
 
@@ -31,8 +32,6 @@ from wmfml_tpu.nn.mlp import Dense
 def _batch_stats_norm(x, mask, eps: float = 1e-5):
     """Normalize [N, H, W, C] by masked batch statistics (no affine);
     shares the single-pass implementation in models/maml.py."""
-    from wmfml_tpu.models.maml import masked_batch_norm
-
     return masked_batch_norm(x, mask, eps=eps)
 
 

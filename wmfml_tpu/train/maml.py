@@ -277,8 +277,8 @@ class MAMLTrainer(ModelTrainer):
                              eval_outer(params, batch, key)[1])
         self._want_device_eval = self.device_sampler is not None
 
-    def _setup_device_eval(self):
-        setup_outer_device_eval(self)
+    def _make_device_sweep(self, split):
+        return build_outer_device_sweep(self._eval_pre_fn, self.mesh, split)
 
 
 def build_outer_device_sweep(pre_fn, mesh, split):
@@ -303,23 +303,3 @@ def build_outer_device_sweep(pre_fn, mesh, split):
         return jitted(state, split.arrays(), cls, ctx_idx, qry_idx, keys)
 
     return call
-
-
-def setup_outer_device_eval(trainer):
-    """Install device-resident validate sweeps on a MAML/MMAML trainer
-    (the adapted-eval analog of ModelTrainer._setup_device_eval)."""
-    trainer._device_eval = {}
-    if not hasattr(trainer.data, "get_batch_indices"):
-        return
-    from wmfml_tpu.data.device_eval import split_from_dataset
-
-    sources = ["validation"] + ([] if trainer.config.task == "pascal_1d"
-                                else ["test"])
-    for source in sources:
-        split = split_from_dataset(trainer.data, trainer.config, source)
-        if split is not None:
-            trainer._device_eval[source] = build_outer_device_sweep(
-                trainer._eval_pre_fn, trainer.mesh, split)
-    if trainer._device_eval:
-        trainer.logger.info(
-            f"eval splits resident in HBM: {sorted(trainer._device_eval)}")

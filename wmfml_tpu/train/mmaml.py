@@ -232,7 +232,7 @@ class MMAMLTrainer(ModelTrainer):
         self._eval_pre_fn = eval_outer
         self._want_device_eval = self.device_sampler is not None
 
-    def _setup_device_eval(self):
-        from wmfml_tpu.train.maml import setup_outer_device_eval
+    def _make_device_sweep(self, split):
+        from wmfml_tpu.train.maml import build_outer_device_sweep
 
-        setup_outer_device_eval(self)
+        return build_outer_device_sweep(self._eval_pre_fn, self.mesh, split)

@@ -235,21 +235,27 @@ class ModelTrainer:
                 f"Loss is NaN or Inf at iteration {step_idx}: {loss}")
         return loss
 
+    def _make_device_sweep(self, split):
+        """Sweep builder hook — MAML/MMAML override with the adapted-eval
+        variant (train/maml.py build_outer_device_sweep)."""
+        from wmfml_tpu.data.device_eval import build_device_eval_sweep
+
+        return build_device_eval_sweep(self.model, self.config, split,
+                                       self.mesh)
+
     def _setup_device_eval(self):
         """Device-resident val/test splits + one-dispatch eval sweeps."""
         self._device_eval = {}
         if not hasattr(self.data, "get_batch_indices"):
             return
-        from wmfml_tpu.data.device_eval import (build_device_eval_sweep,
-                                                split_from_dataset)
+        from wmfml_tpu.data.device_eval import split_from_dataset
 
         sources = ["validation"] + ([] if self.config.task == "pascal_1d"
                                     else ["test"])
         for source in sources:
             split = split_from_dataset(self.data, self.config, source)
             if split is not None:
-                self._device_eval[source] = build_device_eval_sweep(
-                    self.model, self.config, split, self.mesh)
+                self._device_eval[source] = self._make_device_sweep(split)
         if self._device_eval:
             self.logger.info(
                 f"eval splits resident in HBM: {sorted(self._device_eval)}")
