@@ -18,11 +18,14 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, variables, tx):
+        import numpy as np
+
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
-        # jit the optimizer init: eagerly it is one dispatch per moment
-        # leaf, each paying a remote per-op compile on the axon platform
-        return cls(step=jnp.zeros((), jnp.int32), params=params,
+        # jit the optimizer init and build the step counter host-side: every
+        # EAGER jax op pays a remote per-op compile on the axon platform
+        # (measured up to ~15 s per op under load)
+        return cls(step=np.zeros((), np.int32), params=params,
                    extra_vars=extra, opt_state=jax.jit(tx.init)(params))
 
     def model_variables(self):
