@@ -78,7 +78,9 @@ def evaluate_and_plot(config, ctx_num: int = 15):
     config.query_num = getattr(data, "query_num", config.query_num)
     model = build_model(config)
     evaluator = ModelEvaluator(model, config, data)
-    forward = make_forward(model, config, train=False)
+    # jitted: an eager forward is hundreds of per-op remote compiles on the
+    # axon platform (see RESULTS.md eager-dispatch hazard)
+    forward = jax.jit(make_forward(model, config, train=False))
 
     losses = []
     out_dir = os.path.join(config.save_path, "plots")
