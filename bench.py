@@ -17,10 +17,18 @@ Timing forces a host fetch of the final loss — on this platform
 ``block_until_ready`` returns before remote execution completes, so a fetch
 is the only honest clock (RESULTS.md "Measurement integrity").
 
-vs_baseline: the reference publishes no numbers (BASELINE.md). We use a
-generous estimate of its single-GPU loop: ~10 iters/s x 10 tasks = 100
-tasks/s (synchronous imgaug CPU sampling + torch forward/backward). The
-north-star target is >= 10x => vs_baseline >= 10.
+vs_baseline: the reference publishes no numbers (BASELINE.md), so we
+MEASURED it (scripts/ref_baseline.py runs the actual /root/reference
+classes on the byte-compatible synthetic data; REFBASE.json):
+  - full reference loop, torch CPU:            8.92 tasks/s
+  - sampling-only ceiling (the reference samples episodes synchronously on
+    the host, trainer/model_trainer.py:64-70, so ANY accelerator backend
+    is bounded by tasks_per_batch / t(get_batch)):  847 tasks/s
+Both numbers EXCLUDE imgaug (not installed) — i.e. they overstate the
+reference, whose shipped DA+TA config pays imgaug per batch on the host.
+vs_baseline divides by the 847 ceiling — the most conservative measured
+denominator (a real GPU reference also pays H2D + forward + backward).
+The measured-loop multiple is carried in extra.baselines.
 """
 
 from __future__ import annotations
@@ -29,7 +37,10 @@ import json
 import os
 import time
 
-REFERENCE_TASKS_PER_SEC = 100.0
+# measured ceiling of the reference on ANY accelerator (REFBASE.json,
+# sampling_bound_tasks_per_sec); its measured CPU loop is 8.92 tasks/s
+REFERENCE_TASKS_PER_SEC = 847.0
+REFERENCE_CPU_LOOP_TASKS_PER_SEC = 8.92
 
 # dense bf16 peak FLOP/s per chip (public spec sheets)
 PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
@@ -155,17 +166,22 @@ def run_workload(name: str, cfg, calls: int) -> dict:
 
     assert final_loss == final_loss, f"{name}: NaN loss in benchmark"
     steps = calls * K
+    # cost_analysis spans the whole mesh and tasks_per_batch is the global
+    # batch — normalize both by device count so "per_chip" stays honest on
+    # multi-chip meshes (single-chip: n_dev == 1, no change)
+    n_dev = jax.device_count()
     out = {
-        "tasks_per_sec": round(steps * cfg.tasks_per_batch / dt, 2),
+        "tasks_per_sec": round(steps * cfg.tasks_per_batch / dt / n_dev, 2),
         "ms_per_step": round(1000 * dt / steps, 3),
     }
     if flops_per_call:
-        achieved = flops_per_call * calls / dt
+        achieved = flops_per_call * calls / dt / n_dev
         out["gflops_per_step"] = round(flops_per_call / K / 1e9, 2)
         out["tflops_per_sec"] = round(achieved / 1e12, 2)
         out["mfu_pct"] = round(100 * achieved / chip_peak(), 2)
     if bytes_per_call:
-        out["hbm_gb_per_sec"] = round(bytes_per_call * calls / dt / 1e9, 1)
+        out["hbm_gb_per_sec"] = round(
+            bytes_per_call * calls / dt / n_dev / 1e9, 1)
     return out
 
 
@@ -209,6 +225,15 @@ def main():
 
     head = results["anp_shapenet1d"]
     tasks_per_sec = head["tasks_per_sec"]
+    results["baselines"] = {
+        "ref_accelerator_ceiling_tasks_per_sec": REFERENCE_TASKS_PER_SEC,
+        "ref_measured_cpu_loop_tasks_per_sec":
+            REFERENCE_CPU_LOOP_TASKS_PER_SEC,
+        "vs_measured_cpu_loop": round(
+            tasks_per_sec / REFERENCE_CPU_LOOP_TASKS_PER_SEC, 1),
+        "note": "measured via scripts/ref_baseline.py (REFBASE.json); "
+                "vs_baseline uses the sampling-bound accelerator ceiling",
+    }
     print(json.dumps({
         "metric": "meta_train_tasks_per_sec_per_chip",
         "value": tasks_per_sec,

@@ -89,6 +89,106 @@ def test_augmenter_preserves_shape_and_range():
     assert not np.allclose(out, out2)
 
 
+def test_random_order_permutes_ops_per_call():
+    """iaa.Sequential(random_order=True) semantics: order drawn per call.
+
+    Two non-commuting ops (+1 then clip-free *2 vs *2 then +1) must both
+    appear across calls with different keys, and the order must be shared
+    by all images within one call (per-batch order, like imgaug)."""
+    ops = [lambda k, img: img + 1.0, lambda k, img: img * 2.0]
+    aug = build_augmenter("shapenet_1d", ops=ops)
+    imgs = jnp.zeros((4, 2, 4, 4, 1), jnp.float32)
+    seen = set()
+    for s in range(16):
+        out = np.asarray(aug(jax.random.PRNGKey(s), imgs))
+        vals = np.unique(out)
+        assert len(vals) == 1, "op order must be shared across the batch"
+        seen.add(float(vals[0]))
+    assert seen == {1.0, 2.0}  # (0+1)*2 = 2 and 0*2+1 = 1 both occur
+
+
+def test_fixed_order_pipeline_is_deterministic_order():
+    ops = [lambda k, img: img + 1.0, lambda k, img: img * 2.0]
+    aug = build_augmenter("shapenet_1d", random_order=False, ops=ops)
+    imgs = jnp.zeros((1, 1, 4, 4, 1), jnp.float32)
+    for s in range(4):
+        out = np.asarray(aug(jax.random.PRNGKey(s), imgs))
+        assert float(out.ravel()[0]) == 2.0  # always (0+1)*2
+
+
+def test_coarse_dropout_sampled_grid_blocks():
+    """size_percent is sampled; pin it and verify block structure."""
+    img = jnp.ones((64, 64, 1), jnp.float32)
+    # sp = 0.25 exactly -> low-res grid 16x16 -> constant 4x4 blocks
+    found_dropped = False
+    for s in range(8):
+        out = np.asarray(coarse_dropout(jax.random.PRNGKey(s), img,
+                                        p_hi=0.5, size_lo=0.25,
+                                        size_hi=0.25))
+        blocks = out.reshape(16, 4, 16, 4)
+        assert (blocks == blocks[:, :1, :, :1]).all(), \
+            "mask must be constant on 4x4 blocks at size_percent=0.25"
+        found_dropped = found_dropped or (out == 0).any()
+    assert found_dropped
+    # sp = 1/16 -> 4x4 grid -> constant 16x16 blocks (coarser), proving the
+    # grid actually follows the sampled size_percent
+    out = np.asarray(coarse_dropout(jax.random.PRNGKey(3), img,
+                                    p_hi=0.5, size_lo=1 / 16, size_hi=1 / 16))
+    blocks = out.reshape(4, 16, 4, 16)
+    assert (blocks == blocks[:, :1, :, :1]).all()
+
+
+def test_coarse_dropout_per_channel():
+    """per_channel=0.2: with it forced on, channels get independent masks."""
+    img = jnp.ones((64, 64, 3), jnp.float32)
+    per_channel_seen = False
+    for s in range(40):
+        out = np.asarray(coarse_dropout(jax.random.PRNGKey(s), img,
+                                        p_hi=0.5, per_channel_p=1.0))
+        if not (out[..., 0] == out[..., 1]).all():
+            per_channel_seen = True
+            break
+    assert per_channel_seen
+    # and with per_channel off, masks are shared across channels
+    for s in range(10):
+        out = np.asarray(coarse_dropout(jax.random.PRNGKey(s), img,
+                                        p_hi=0.5, per_channel_p=0.0))
+        assert (out[..., 0] == out[..., 1]).all()
+
+
+def test_crop_and_pad_asymmetric_sides():
+    """Per-side sampling (sample_independently): content shifts toward the
+    more-padded side; symmetric padding keeps the center fixed."""
+    from wmfml_tpu.aug.image_aug import _affine_warp, crop_and_pad
+
+    img = jnp.asarray(rng.rand(32, 32, 1), jnp.float32)
+    # lo == hi pins all four sides to the same fraction -> symmetric ==
+    # pure scale with zero translation
+    out = np.asarray(crop_and_pad(jax.random.PRNGKey(0), img,
+                                  lo=0.05, hi=0.05))
+    s = 1.0 / 1.1
+    want = np.asarray(_affine_warp(img, (s, s), (0.0, 0.0),
+                                   # same cval stream as crop_and_pad
+                                   jax.random.uniform(
+                                       jax.random.split(
+                                           jax.random.PRNGKey(0))[1], ())))
+    np.testing.assert_allclose(out, want, atol=1e-5)
+    # random sides: runs, stays finite, changes the image
+    out2 = np.asarray(crop_and_pad(jax.random.PRNGKey(7), img))
+    assert np.isfinite(out2).all() and out2.shape == img.shape
+
+
+def test_average_blur_k_levels():
+    from wmfml_tpu.aug.image_aug import average_blur
+
+    img = jnp.asarray(rng.rand(16, 16, 1), jnp.float32)
+    outs = [np.asarray(average_blur(jax.random.PRNGKey(s), img))
+            for s in range(30)]
+    identity = sum(1 for o in outs if np.allclose(o, img))
+    blurred = sum(1 for o in outs if not np.allclose(o, img))
+    assert identity > 0 and blurred > 0  # k=1 and k in {2,3} both sampled
+
+
 def test_geometric_composes_two_warps():
     """Composed warp == sequential warps when no fill pixels interact."""
     from wmfml_tpu.aug.image_aug import geometric

@@ -82,3 +82,41 @@ def test_mmaml_trainer_smoke(tmp_path):
     trainer = MMAMLTrainer(bundle, cfg, data)
     trainer.train()
     assert trainer.best_loss["validation"] < 10000
+
+
+def test_conv_embedding_gru_aggregation_masked_parity():
+    """The reference-dead rnn_aggregation option
+    (networks/conv_embedding_model.py:76-88,132-144): bidirectional 2-layer
+    GRU readout. Padded episodes must equal their truncated (ragged)
+    equivalents — the carry is held on masked steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wmfml_tpu.models.mmaml_nets import ConvEmbeddingNet
+
+    net = ConvEmbeddingNet(embedding_dims=(8, 16), num_channels=4,
+                           hidden_size=16, rnn_aggregation=True,
+                           num_layers=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(5, 32, 32, 1),
+                    jnp.float32)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    variables = net.init(jax.random.PRNGKey(0), x, mask)
+    # GRU params exist for both directions and layers
+    names = set(variables["params"].keys())
+    assert {"gru_l0_fwd", "gru_l0_bwd", "gru_l1_fwd", "gru_l1_bwd"} <= names
+    out_padded = net.apply(variables, x, mask)
+    assert tuple(o.shape[-1] for o in out_padded) == (8, 16)
+    # ragged equivalence: only valid rows matter. NB batch statistics in
+    # the conv stack also see only valid rows (masked batch norm), so the
+    # truncated forward is bitwise-equivalent mathematically
+    out_trunc = net.apply(variables, x[:3], jnp.ones((3,)))
+    for a, b in zip(out_padded, out_trunc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # and the GRU actually aggregates: different instance order changes
+    # the embedding (unlike the permutation-invariant avg-pool default)
+    out_perm = net.apply(variables, x[jnp.array([2, 1, 0, 3, 4])], mask)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(out_padded, out_perm))

@@ -131,3 +131,48 @@ def test_registry_rejects_unknown():
     with pytest.raises(NameError):
         build_model(make_cfg(method="NoSuchModel", task="shapenet_1d"))
     assert "CNPShapeNet1D" in available_methods()
+
+
+def test_bottleneck_block_construction():
+    """networks/ResNet.py:77-119 Bottleneck (reachable from no shipped
+    config; ported for surface parity): 1x1->3x3->1x1, expansion 4, live
+    batchnorms, strided downsample on the identity path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wmfml_tpu.nn.encoders import Bottleneck
+
+    blk = Bottleneck(planes=16, stride=2)
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 16, 16, 8), jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    out = blk.apply(variables, x)
+    assert out.shape == (4, 8, 8, 64)  # expansion 4, stride 2
+    assert bool(jnp.isfinite(out).all())
+    names = set(variables["params"].keys())
+    assert {"conv1", "conv2", "conv3", "downsample"} <= names
+
+
+def test_load_pretrained_resnet_maps_and_reports():
+    """networks/ResNet.py:171-185 pretrained-URL load: the reference's own
+    branch strict-loads resnet18 keys into its modified net (crashes); our
+    hook copies whatever is compatible from a local state_dict and reports
+    the rest."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wmfml_tpu.nn.encoders import ResNetTrunk, load_pretrained_resnet
+
+    trunk = ResNetTrunk(img_agg="max")
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = trunk.init(jax.random.PRNGKey(0), x)
+    marker = np.full((64, 64, 3, 3), 7.0, np.float32)  # OIHW
+    sd = {
+        "layer1.0.conv1.weight": marker,
+        "fc.weight": np.zeros((1000, 512), np.float32),  # incompatible
+    }
+    new_vars, skipped = load_pretrained_resnet(variables, sd)
+    got = np.asarray(new_vars["params"]["layer1"]["conv1"]["kernel"])
+    assert got.shape == (3, 3, 64, 64) and (got == 7.0).all()
+    assert skipped == ["fc.weight"]

@@ -10,18 +10,34 @@ Op semantics mirror imgaug's (parameter ranges from the reference pipelines;
 uint8-scale constants rescaled to [0, 1]):
 
   * crop_and_pad   — iaa.CropAndPad(percent=(0, .05), keep_size=True):
-                     pad p per side + resize back == scale by 1/(1+2p) w/ fill
-  * affine         — iaa.Affine(scale .8-1.2 per axis, translate +/-10%)
+                     four independent per-side pad fractions
+                     (sample_independently default), then resize back ==
+                     closed-form scale+translate affine
+  * affine         — iaa.Affine(scale .8-1.2 per axis, translate +/-10%,
+                     order=[0, 1]: nearest/bilinear picked per image)
   * gamma_contrast — iaa.GammaContrast(.5-2)
   * brightness     — iaa.AddToBrightness(-30..30) / 255
-  * average_blur   — iaa.AverageBlur(k<=3): 3x3 mean filter, applied or not
+  * average_blur   — iaa.AverageBlur(k=(1, 3)): k ~ U{1, 2, 3} mean filter
   * dropout        — iaa.Dropout(.01-.1, per_channel=.5)
-  * coarse_dropout — iaa.CoarseDropout((0,.05), size_percent .02-.25)
+  * coarse_dropout — iaa.CoarseDropout((0, .05), size_percent=(.02, .25),
+                     per_channel=.2) with the size_percent SAMPLED per image
+                     (static-shape max-grid mask + nearest gather upsample)
 
-Each is wrapped in ``sometimes(0.5)``. Deviation (documented): imgaug applies
-ops in random order; we use a fixed order — ops commute approximately and the
-paper's DA ablation does not depend on ordering. Exact RNG streams differ by
-construction; tests assert distributional properties instead.
+Each is wrapped in ``sometimes(0.5)`` per image, and — like the reference's
+``iaa.Sequential(random_order=True)`` (`utils/augment.py:61-63`), which
+draws a new op order per BATCH — the op order is sampled per augmenter call
+and applied via a scalar-index ``lax.switch`` chain, so exactly one op body
+executes per step at runtime.
+
+Remaining (documented) approximations, RNG-stream-level only:
+  * pad_mode=ia.ALL / cval=(0, 255) — a random CONSTANT fill approximates
+    imgaug's random pad mode (edge/reflect/wrap/... are a rare subset);
+  * the reference round-trips through uint8 around the pipeline
+    ((x*255).astype(uint8) / 255, `utils/augment.py:67-71`) — we stay in
+    float (no quantization);
+  * AddToBrightness adds in HSV-V space for RGB inputs; we add per channel;
+  * exact per-draw RNG streams differ by construction (different PRNG).
+Tests assert distributional properties (tests/test_aug.py).
 """
 
 from __future__ import annotations
@@ -48,11 +64,15 @@ def _interp_matrix(n: int, src: jnp.ndarray) -> jnp.ndarray:
     return (w0 * valid0)[:, None] * eye0 + (w1 * valid1)[:, None] * eye1
 
 
-def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval) -> jnp.ndarray:
-    """Bilinear affine warp about the image center with constant fill.
+def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval,
+                 nearest=None) -> jnp.ndarray:
+    """Bilinear (or nearest) affine warp about the image center w/ constant
+    fill.
 
     img [H, W, C]; scale/translate are (x, y) tuples; output pixel (x, y)
-    samples input at center + (x - center - tx) / sx.
+    samples input at center + (x - center - tx) / sx. ``nearest`` (traced
+    bool or None) switches to order-0 interpolation by snapping the source
+    coordinates to the pixel grid (iaa.Affine order=[0, 1]).
 
     Scale+translate is separable, so the warp is two small matmuls
     (row-mix then column-mix) — MXU work instead of the double gather XLA
@@ -65,6 +85,9 @@ def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval) -> jnp.ndarray:
     tx, ty = translate_xy
     src_y = (jnp.arange(h, dtype=jnp.float32) - cy - ty) / sy + cy
     src_x = (jnp.arange(w, dtype=jnp.float32) - cx - tx) / sx + cx
+    if nearest is not None:
+        src_y = jnp.where(nearest, jnp.floor(src_y + 0.5), src_y)
+        src_x = jnp.where(nearest, jnp.floor(src_x + 0.5), src_x)
 
     wy = _interp_matrix(h, src_y)                      # [H, H]
     wx = _interp_matrix(w, src_x)                      # [W, W]
@@ -74,22 +97,36 @@ def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval) -> jnp.ndarray:
     return (out + cval * (1.0 - coverage)[:, :, None]).astype(img.dtype)
 
 
-def crop_and_pad(key, img):
+def crop_and_pad(key, img, lo=0.0, hi=0.05):
+    """iaa.CropAndPad(percent=(0, .05), keep_size=True).
+
+    imgaug samples each side independently (sample_independently defaults
+    True): pad fractions (top, right, bottom, left), then resizes back to
+    the original size — which is exactly an affine with per-axis scale
+    1/(1+p_left+p_right) and translate moving content toward the
+    more-padded side."""
     kp, kc = jax.random.split(key)
-    p = jax.random.uniform(kp, (), minval=0.0, maxval=0.05)
+    p = jax.random.uniform(kp, (4,), minval=lo, maxval=hi)
+    pt, pr, pb, pl = p[0], p[1], p[2], p[3]
+    h, w, _ = img.shape
+    sx = 1.0 / (1.0 + pl + pr)
+    sy = 1.0 / (1.0 + pt + pb)
+    tx = sx * w * (pl - pr) / 2.0
+    ty = sy * h * (pt - pb) / 2.0
     cval = jax.random.uniform(kc, ())
-    s = 1.0 / (1.0 + 2.0 * p)
-    return _affine_warp(img, (s, s), (0.0, 0.0), cval)
+    return _affine_warp(img, (sx, sy), (tx, ty), cval)
 
 
 def affine(key, img, scale=(0.8, 1.2), translate=0.1):
-    ks, kt, kc = jax.random.split(key, 3)
+    ks, kt, kc, ko = jax.random.split(key, 4)
     sxy = jax.random.uniform(ks, (2,), minval=scale[0], maxval=scale[1])
     h, w, _ = img.shape
     txy = jax.random.uniform(kt, (2,), minval=-translate, maxval=translate)
     txy = txy * jnp.array([w, h], jnp.float32)
     cval = jax.random.uniform(kc, ())
-    return _affine_warp(img, (sxy[0], sxy[1]), (txy[0], txy[1]), cval)
+    nearest = jax.random.bernoulli(ko, 0.5)  # iaa order=[0, 1]
+    return _affine_warp(img, (sxy[0], sxy[1]), (txy[0], txy[1]), cval,
+                        nearest=nearest)
 
 
 def gamma_contrast(key, img, lo=0.5, hi=2.0):
@@ -103,14 +140,20 @@ def brightness(key, img, amount=30.0 / 255.0):
 
 
 def average_blur(key, img):
-    """3x3 mean blur, applied with prob 2/3 (imgaug k sampled from (0, 3))."""
+    """iaa.AverageBlur(k=(1, 3)): k ~ U{1, 2, 3}; k=1 is identity.
+
+    k=2 anchors like cv2.blur's even-kernel anchor (pixel + its top/left
+    neighbors)."""
+    k = jax.random.randint(key, (), 1, 4)
+    h, w = img.shape[:2]
     pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    win = sum(
-        pad[dy:dy + img.shape[0], dx:dx + img.shape[1]]
-        for dy in range(3) for dx in range(3)
+    win3 = sum(
+        pad[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)
     ) / 9.0
-    do = jax.random.bernoulli(key, 2.0 / 3.0)
-    return jnp.where(do, win, img)
+    win2 = sum(
+        pad[dy:dy + h, dx:dx + w] for dy in range(2) for dx in range(2)
+    ) / 4.0
+    return jnp.where(k == 3, win3, jnp.where(k == 2, win2, img))
 
 
 def dropout(key, img, lo=0.01, hi=0.1, per_channel_p=0.5):
@@ -123,16 +166,33 @@ def dropout(key, img, lo=0.01, hi=0.1, per_channel_p=0.5):
     return img * mask
 
 
-def coarse_dropout(key, img, p_hi=0.05, size_lo=0.02, size_hi=0.25):
-    kp, ks, km = jax.random.split(key, 3)
-    p = jax.random.uniform(kp, (), minval=0.0, maxval=p_hi)
+def coarse_dropout(key, img, p_hi=0.05, size_lo=0.02, size_hi=0.25,
+                   per_channel_p=0.2):
+    """iaa.CoarseDropout((0, .05), size_percent=(.02, .25), per_channel=.2).
+
+    imgaug samples size_percent per image, draws an iid Bernoulli mask on
+    the (h*sp, w*sp) grid and nearest-upsamples it. Data-dependent low-res
+    shapes can't exist under jit, so the mask is drawn once at the MAX grid
+    size and the (h*sp, w*sp) top-left corner is nearest-gathered up to
+    full resolution — the used cells are the same iid Bernoulli draw, so
+    the mask distribution is identical, with static shapes throughout.
+    """
+    kp, ks, km, kc, kpc = jax.random.split(key, 5)
     h, w, c = img.shape
-    # fixed coarse grid (16x16), statistically matching size_percent .02-.25
-    del size_lo, size_hi
-    gh, gw = max(h // 16, 1), max(w // 16, 1)
-    low = jax.random.bernoulli(km, 1 - p, (gh, gw, 1))
-    mask = jnp.repeat(jnp.repeat(low, h // gh, axis=0), w // gw, axis=1)
-    del ks
+    p = jax.random.uniform(kp, (), minval=0.0, maxval=p_hi)
+    sp = jax.random.uniform(ks, (), minval=size_lo, maxval=size_hi)
+    hl = jnp.maximum(jnp.round(h * sp), 1.0)   # low-res dims actually used
+    wl = jnp.maximum(jnp.round(w * sp), 1.0)
+    h_max = max(int(round(h * size_hi)), 1)
+    w_max = max(int(round(w * size_hi)), 1)
+    keep_c = jax.random.bernoulli(km, 1 - p, (h_max, w_max, c))
+    keep_s = jax.random.bernoulli(kc, 1 - p, (h_max, w_max, 1))
+    per_channel = jax.random.bernoulli(kpc, per_channel_p)
+    low = jnp.where(per_channel, keep_c,
+                    jnp.broadcast_to(keep_s, (h_max, w_max, c)))
+    iy = jnp.floor(jnp.arange(h) * hl / h).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(w) * wl / w).astype(jnp.int32)
+    mask = low[iy[:, None], ix[None, :], :]
     return img * mask
 
 
@@ -146,14 +206,15 @@ def one_of_dropout(key, img):
 def geometric(key, img, scale=(0.8, 1.2), translate=0.1, p: float = 0.5):
     """Fused CropAndPad + Affine: one warp with composed parameters.
 
-    The reference applies Sometimes(0.5) CropAndPad then Sometimes(0.5)
-    Affine — two sequential resampling passes. Scale/translate affines
-    compose in closed form (warp2(warp1(x)) == warp(scale1*scale2,
-    t2 + s2*t1)), so one warp produces the same geometry with half the
-    resampling cost (and one interpolation instead of two — slightly
-    sharper output than imgaug's double-resample; fill colors of the two
-    stages collapse into one random cval). Each stage keeps its own
-    Sometimes gate by collapsing to identity parameters.
+    Perf variant (``random_order=False`` pipelines only): the reference
+    applies Sometimes(0.5) CropAndPad then Sometimes(0.5) Affine — two
+    sequential resampling passes. Scale/translate affines compose in closed
+    form (warp2(warp1(x)) == warp(scale1*scale2, t2 + s2*t1)), so one warp
+    produces the same geometry with half the resampling cost (and one
+    interpolation instead of two — slightly sharper output than imgaug's
+    double-resample; fill colors of the two stages collapse into one random
+    cval; the crop stage is symmetric). Each stage keeps its own Sometimes
+    gate by collapsing to identity parameters.
     """
     k1, k2, ks, kt, kp_, kc = jax.random.split(key, 6)
     h, w, _ = img.shape
@@ -186,19 +247,21 @@ def sometimes(op: Callable, p: float = 0.5) -> Callable:
 
 
 # -- pipelines mirroring the reference's four Augmenters ----------------------
-# every entry handles its own Sometimes gate; the geometric entry fuses the
-# reference's CropAndPad + Affine stages into one composed warp
+# every entry handles its own Sometimes gate
 
+_CROP = sometimes(crop_and_pad)
+_AFFINE = sometimes(affine)
 _GAMMA = sometimes(gamma_contrast)
 _BRIGHT = sometimes(brightness)
 _BLUR = sometimes(average_blur)
 _DROP = sometimes(one_of_dropout)
-_AFFINE = sometimes(affine)
 
-FULL_OPS = [geometric, _GAMMA, _BRIGHT, _BLUR, _DROP]   # utils/augment.py:22-79
-PASCAL_OPS = [geometric, _GAMMA, _BLUR, _DROP]          # utils/augment.py:82-141 (no brightness)
-SHAPENET1D_OPS = [geometric, _DROP]                     # dataset/shapenet_1d.py:34-71
-DISTRACTOR_OPS = [_AFFINE, _DROP]                       # dataset/shapenet_distractor.py:54-81
+# exact op lists, reference declaration order (the random-order chain
+# permutes them per call, like iaa.Sequential(random_order=True))
+FULL_OPS = [_CROP, _GAMMA, _BRIGHT, _BLUR, _AFFINE, _DROP]  # utils/augment.py:34-60
+PASCAL_OPS = [_CROP, _GAMMA, _BLUR, _AFFINE, _DROP]         # utils/augment.py:82-141 (no brightness)
+SHAPENET1D_OPS = [_CROP, _AFFINE, _DROP]                    # dataset/shapenet_1d.py:34-71
+DISTRACTOR_OPS = [_AFFINE, _DROP]                           # dataset/shapenet_distractor.py:54-81
 
 PIPELINES = {
     "shapenet_3d": FULL_OPS,
@@ -207,23 +270,55 @@ PIPELINES = {
     "distractor": DISTRACTOR_OPS,
 }
 
+# fixed-order perf variant: CropAndPad + Affine fused into ONE warp
+# (half the resampling cost; order deviation documented in geometric())
+FUSED_PIPELINES = {
+    "shapenet_3d": [geometric, _GAMMA, _BRIGHT, _BLUR, _DROP],
+    "pascal_1d": [geometric, _GAMMA, _BLUR, _DROP],
+    "shapenet_1d": [geometric, _DROP],
+    "distractor": [_AFFINE, _DROP],
+}
 
-def build_augmenter(task: str, p: float = 0.5) -> Callable:
-    """Return ``augment(key, images)`` for [..., H, W, C] image stacks."""
-    del p  # gates live inside the ops (geometric fuses two gated stages)
-    ops: List[Callable] = list(PIPELINES[task])
 
-    def augment_one(key, img):
-        keys = jax.random.split(key, len(ops))
-        for k, op in zip(keys, ops):
-            img = op(k, img)
-        return img
+def build_augmenter(task: str, p: float = 0.5,
+                    random_order: bool = True,
+                    ops: List[Callable] = None) -> Callable:
+    """Return ``augment(key, images)`` for [..., H, W, C] image stacks.
+
+    ``random_order=True`` (default, exact reference semantics): the op
+    order is drawn per call — imgaug's Sequential(random_order=True)
+    resamples the order per batch, and the reference augments each batch
+    with one ``generate()`` call (`dataset/shapenet_1d.py:174-176`). The
+    order index is a SCALAR, so each lax.switch step executes exactly one
+    op body at runtime. ``random_order=False`` selects the fused
+    fixed-order perf pipelines.
+    """
+    del p  # gates live inside the ops
+    if ops is None:
+        ops = list((PIPELINES if random_order else FUSED_PIPELINES)[task])
+    n = len(ops)
+
+    def batch_op(op):
+        def run(k, imgs):
+            keys = jax.random.split(k, imgs.shape[0])
+            return jax.vmap(op)(keys, imgs)
+
+        return run
+
+    branches = [batch_op(op) for op in ops]
 
     def augment(key, images):
         batch_shape = images.shape[:-3]
         flat = images.reshape((-1,) + images.shape[-3:])
-        keys = jax.random.split(key, flat.shape[0])
-        out = jax.vmap(augment_one)(keys, flat)
-        return out.reshape(batch_shape + out.shape[-3:])
+        kperm, kops = jax.random.split(key)
+        step_keys = jax.random.split(kops, n)
+        if random_order:
+            perm = jax.random.permutation(kperm, n)
+            for s in range(n):
+                flat = jax.lax.switch(perm[s], branches, step_keys[s], flat)
+        else:
+            for s in range(n):
+                flat = branches[s](step_keys[s], flat)
+        return flat.reshape(batch_shape + flat.shape[-3:])
 
     return augment

@@ -37,11 +37,13 @@ def _to_float(x, dtype):
 
 def build_episode_processor(task: str, aug_list, train: bool,
                             compute_dtype=jnp.float32,
-                            azimuth_only: bool = False) -> Callable:
+                            azimuth_only: bool = False,
+                            aug_random_order: bool = True) -> Callable:
     """Return ``process(key, batch) -> batch`` (jit-traceable)."""
     data_aug = train and ("data_aug" in aug_list)
     task_aug = train and ("task_aug" in aug_list)
-    augment = build_augmenter(task) if data_aug else None
+    augment = (build_augmenter(task, random_order=aug_random_order)
+               if data_aug else None)
 
     def maybe_augment(key, x):
         return augment(key, x) if data_aug else x

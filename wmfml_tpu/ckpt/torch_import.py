@@ -528,7 +528,19 @@ def load_torch_variables(config, path: str) -> dict:
     re-prefixing the two sub-state-dicts."""
     import torch
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # tensors-only unpickling: refuses arbitrary objects, which is the
+        # right default for user-supplied .pt paths
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import logging
+
+        logging.getLogger("wmfml_tpu").warning(
+            "weights_only torch.load failed for %s — falling back to full "
+            "unpickling (only do this for checkpoints you trust; the "
+            "reference MMAML combined dict embeds optimizer objects that "
+            "need it: trainer/meta_learner_reg.py:218-227)", path)
+        raw = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(raw, dict) and "model_state_dict" in raw:
         sd = {}
         for k, v in raw["model_state_dict"].items():
@@ -557,7 +569,7 @@ def maybe_restore_torch(config, path: str, state):
         # step sizes, so they start fresh at update_lr — say so out loud
         import logging
 
-        logging.getLogger().warning(
+        logging.getLogger("wmfml_tpu").warning(
             "torch checkpoint carries no inner step sizes; "
             "learn_step_size starts fresh at update_lr=%s", config.update_lr)
         params = {"net": params, "step_size": state.params["step_size"]}

@@ -165,6 +165,14 @@ class Config:
         # attention sizes XLA's fused einsums measure faster (see bench);
         # the kernel pays off at larger context/feature sizes
         self.use_pallas = get("use_pallas", False)
+        # exact imgaug semantics: per-call random op order (the reference's
+        # iaa.Sequential(random_order=True)). False selects the fused
+        # fixed-order geometry pipeline (one warp instead of two; perf cfgs)
+        self.aug_random_order = get("aug_random_order", True)
+        # MMAML task-encoder bidirectional-GRU aggregation (the reference
+        # option at networks/conv_embedding_model.py:76-88; its shipped
+        # config hard-codes it off, MMAMLShapeNet1D.py:72)
+        self.rnn_aggregation = get("rnn_aggregation", False)
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes
@@ -210,15 +218,25 @@ class Config:
             yaml.dump(payload, f)
 
     def add_logger(self):
-        logging.basicConfig(level=logging.INFO, format="%(message)s")
-        self.logger = logging.getLogger()
-        # basicConfig is a no-op when a library (jax/absl) already configured
-        # the root logger at WARNING — set the level explicitly or every
-        # logger.info (train/val losses!) is silently dropped
+        # a named logger with propagate=False: immune to jax/absl's early
+        # root-logger basicConfig (which swallowed INFO at WARNING level)
+        # and doesn't re-enable INFO chatter from every third-party library
+        self.logger = logging.getLogger("wmfml_tpu")
         self.logger.setLevel(logging.INFO)
-        fh = logging.FileHandler(f"{self.save_path}/log.log", "a")
-        fh.setLevel(logging.INFO)
-        self.logger.addHandler(fh)
+        self.logger.propagate = False
+        if not any(isinstance(h, logging.StreamHandler)
+                   and not isinstance(h, logging.FileHandler)
+                   for h in self.logger.handlers):
+            sh = logging.StreamHandler()
+            sh.setFormatter(logging.Formatter("%(message)s"))
+            self.logger.addHandler(sh)
+        log_file = os.path.abspath(f"{self.save_path}/log.log")
+        if not any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == log_file
+                   for h in self.logger.handlers):
+            fh = logging.FileHandler(log_file, "a")
+            fh.setLevel(logging.INFO)
+            self.logger.addHandler(fh)
 
     def __repr__(self):
         return f"Config(method={self.method!r}, task={self.task!r}, mode={self.mode!r})"

@@ -44,8 +44,12 @@ def resolve_data_path(config) -> str:
     return ensure_dataset(task, "data_synth")
 
 
-def build_data(config, mode: str = "train"):
-    """Instantiate the sampler for config.task (reference train.py:60-88)."""
+def build_data(config, mode: str = "train", test_categ=None):
+    """Instantiate the sampler for config.task (reference train.py:60-88).
+
+    ``test_categ``: distractor-only — restrict the test split to the given
+    categories (the reference plot script evaluates only '04530566',
+    evaluate_and_plot_distractor.py:44)."""
     path = resolve_data_path(config)
     task = config.task
     common = dict(img_size=config.img_size, seed=42,
@@ -60,6 +64,7 @@ def build_data(config, mode: str = "train"):
         return ShapeNetDistractor(
             path, num_instances_per_item=36, mode=mode,
             load_test_categ_only=(mode == "eval"),
+            test_categ=test_categ,
             query_num=config.query_num, **common)
     if task == "pascal_1d":
         return Pascal1D(path, query_num=config.query_num, **common)

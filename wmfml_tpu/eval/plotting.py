@@ -74,7 +74,10 @@ def evaluate_and_plot(config, ctx_num: int = 15):
     from wmfml_tpu.models.registry import build_model
     from wmfml_tpu.train.steps import make_forward
 
-    data = build_data(config, mode="eval")
+    # the reference's distractor plot script restricts the test split to
+    # category '04530566' (evaluate_and_plot_distractor.py:44)
+    test_categ = ["04530566"] if config.task == "distractor" else None
+    data = build_data(config, mode="eval", test_categ=test_categ)
     config.query_num = getattr(data, "query_num", config.query_num)
     model = build_model(config)
     evaluator = ModelEvaluator(model, config, data)

@@ -46,6 +46,13 @@ def masked_batch_norm(x, mask, scale=None, bias=None, eps: float = 1e-5):
     two-pass mean-then-centered-variance form costs a second full read of x
     and was 27% of the MMAML outer step on v5e (multiply_reduce fusions);
     both sums here fuse into one traversal.
+
+    Precision caveat: the one-pass form cancels catastrophically when
+    |mean| >> std. Post-conv activations here are zero-ish mean and the f32
+    accumulation + clamp-to-0 bound the damage — parity tests pass at
+    rtol=2e-5 vs the two-pass form (tests/test_mmaml.py). If drift appears
+    on deeper/bf16 stacks, subtract a per-channel shift (e.g. the first
+    element) before accumulating.
     """
     f32 = jnp.float32
     if mask is None:

@@ -75,13 +75,68 @@ class GatedConvNet(nn.Module):
         return jnp.tanh(x) if self.tanh_out else x
 
 
+class _MaskedGRUCell(nn.Module):
+    """GRUCell step that HOLDS its carry on masked (padded) steps.
+
+    Scanning this over a padded sequence reproduces the reference's ragged
+    GRU semantics exactly: padded steps are identity on the state, so the
+    final carry equals the state after the last valid element."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, inp):
+        x, m = inp                                  # x [1, F], m [1]
+        cell = nn.GRUCell(features=self.features, dtype=self.dtype,
+                          name="cell")
+        new_carry, _ = cell(carry, x)
+        carry = jnp.where((m > 0)[:, None], new_carry, carry)
+        return carry, carry
+
+
 class ConvEmbeddingNet(nn.Module):
     embedding_dims: Sequence[int] = (64, 128, 256, 512)
     num_channels: int = 32
     num_channels_max: int = 256
     hidden_size: int = 128
     embedding_pooling: str = "avg"   # avg | max
+    # bidirectional-GRU aggregation over the task's instances — the
+    # reference option at networks/conv_embedding_model.py:76-88,132-144
+    # (rnn_aggregation; dead in the shipped config, MMAMLShapeNet1D.py:72)
+    rnn_aggregation: bool = False
+    num_layers: int = 2
+    linear_before_rnn: bool = False
     dtype: Optional[jnp.dtype] = None
+
+    def _gru_aggregate(self, x, mask):
+        """Bidirectional ``num_layers``-layer GRU over the instance axis.
+
+        x [N, F] -> [2*hidden]: torch nn.GRU semantics — layer l>0 consumes
+        the concatenated fwd/bwd outputs of layer l-1; the readout is
+        cat(fwd output at the last step, bwd output at step 0), i.e. the
+        final carry of each direction (conv_embedding_model.py:139-144).
+        """
+        ScanCell = nn.scan(_MaskedGRUCell, variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=0, out_axes=0)
+        m = mask if mask is not None else jnp.ones((x.shape[0],), x.dtype)
+        h = x
+        finals = []
+        for layer in range(self.num_layers):
+            outs, finals = [], []
+            for dname, rev in (("fwd", False), ("bwd", True)):
+                cell = ScanCell(features=self.hidden_size, dtype=self.dtype,
+                                name=f"gru_l{layer}_{dname}")
+                seq = (h[::-1] if rev else h)[:, None, :]      # [N, 1, F]
+                msk = (m[::-1] if rev else m)[:, None]         # [N, 1]
+                carry0 = jnp.zeros((1, self.hidden_size), h.dtype)
+                final, ys = cell(carry0, (seq, msk))
+                ys = ys[:, 0]                                   # [N, H]
+                outs.append(ys[::-1] if rev else ys)
+                finals.append(final[0])
+            h = jnp.concatenate(outs, axis=-1)                  # [N, 2H]
+        return jnp.concatenate(finals, axis=-1)                 # [2H]
 
     @nn.compact
     def __call__(self, x, mask=None) -> Tuple:
@@ -103,6 +158,15 @@ class ConvEmbeddingNet(nn.Module):
                  + bias.astype(x.dtype))
             x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))                  # [N, 256]
+        if self.rnn_aggregation:
+            h = x
+            if self.linear_before_rnn:
+                h = nn.relu(Dense(self.hidden_size, dtype=self.dtype,
+                                  name="linear_pre_rnn")(h))
+            pooled = self._gru_aggregate(h, mask)     # [2*hidden]
+            return tuple(
+                Dense(dim, dtype=self.dtype, name=f"embedding_{i}")(pooled)
+                for i, dim in enumerate(self.embedding_dims))
         x = nn.relu(Dense(self.hidden_size, dtype=self.dtype,
                           name="linear")(x))          # [N, 128]
         if mask is not None:

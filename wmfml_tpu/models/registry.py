@@ -227,6 +227,8 @@ def _(config):
         embed=ConvEmbeddingNet(embedding_dims=(64, 128, 256, 512),
                                num_channels=32, hidden_size=128,
                                embedding_pooling="avg",
+                               rnn_aggregation=bool(
+                                   getattr(config, "rnn_aggregation", False)),
                                dtype=_dtype(config)))
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from wmfml_tpu.nn.init import kaiming_out_normal, torch_bias_init, torch_kernel_init
@@ -117,6 +118,95 @@ class BasicBlockNoBN(nn.Module):
                                use_bias=False, kernel_init=kaiming_out_normal,
                                dtype=self.dtype, name="downsample")(x)
         return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """ResNet Bottleneck (networks/ResNet.py:77-119) — 1x1 -> 3x3 -> 1x1
+    with expansion 4.
+
+    Unlike BasicBlock (whose batchnorms the reference comments out,
+    ResNet.py:51-54), Bottleneck KEEPS its three BatchNorms; they run in
+    training mode (batch statistics) in the reference, reproduced here as
+    batch-statistics normalization with learnable scale/bias. The block is
+    reachable from no shipped reference config (only `ResNet(BasicBlock,
+    ...)` is ever constructed, networks/models.py:76); ported for surface
+    parity, construction-tested in tests/test_models_np.py."""
+
+    planes: int
+    stride: int = 1
+    base_width: int = 64
+    dtype: Optional[jnp.dtype] = None
+    expansion: int = 4
+
+    def _bn(self, x, idx):
+        c = x.shape[-1]
+        scale = self.param(f"bn{idx}_scale", nn.initializers.ones, (c,))
+        bias = self.param(f"bn{idx}_bias", nn.initializers.zeros, (c,))
+        f32 = jnp.float32
+        mean = jnp.mean(x, axis=(0, 1, 2), dtype=f32)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(x), axis=(0, 1, 2), dtype=f32)
+            - jnp.square(mean), 0.0)
+        y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(
+            var + 1e-5).astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+    @nn.compact
+    def __call__(self, x):
+        width = int(self.planes * (self.base_width / 64.0))
+        identity = x
+        out = nn.Conv(width, (1, 1), strides=1, use_bias=False,
+                      kernel_init=kaiming_out_normal, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.relu(self._bn(out, 1))
+        out = nn.Conv(width, (3, 3), strides=self.stride,
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      kernel_init=kaiming_out_normal, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.relu(self._bn(out, 2))
+        out = nn.Conv(self.planes * self.expansion, (1, 1), strides=1,
+                      use_bias=False, kernel_init=kaiming_out_normal,
+                      dtype=self.dtype, name="conv3")(out)
+        out = self._bn(out, 3)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=self.stride, use_bias=False,
+                               kernel_init=kaiming_out_normal,
+                               dtype=self.dtype, name="downsample")(x)
+        return nn.relu(out + identity)
+
+
+def load_pretrained_resnet(variables, state_dict_numpy):
+    """Map a torchvision-style ResNet state_dict onto ResNetTrunk variables.
+
+    The reference's own pretrained branch (networks/ResNet.py:171-185)
+    downloads resnet18 weights and calls strict ``load_state_dict`` — which
+    CRASHES against its modified architecture (conv1/bn1 deleted, all
+    stages 64-ch, batchnorms removed), so no working run ever used it.
+    This hook is the honest TPU-side equivalent: given an already-loaded
+    numpy state_dict (no egress here — pass a local file through
+    ``wmfml_tpu.ckpt.torch_import.state_dict_to_numpy``), copy every
+    compatible ``layerN.0.convM.weight`` into the trunk (OIHW -> HWIO) and
+    report what was skipped. Returns (new_variables, skipped_keys)."""
+    import numpy as np
+
+    params = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    skipped = []
+    for key, val in state_dict_numpy.items():
+        parts = key.split(".")
+        # torchvision: layer{i}.{block}.conv{j}.weight
+        if (len(parts) == 4 and parts[0].startswith("layer")
+                and parts[2].startswith("conv") and parts[3] == "weight"
+                and parts[1] == "0"):
+            layer, conv = parts[0], parts[2]
+            tgt = params.get(layer, {})
+            if conv in tgt and tgt[conv]["kernel"].shape == tuple(
+                    np.transpose(val, (2, 3, 1, 0)).shape):
+                tgt[conv]["kernel"] = jnp.asarray(
+                    np.transpose(val, (2, 3, 1, 0)))
+                continue
+        skipped.append(key)
+    return {**variables, "params": params}, skipped
 
 
 class ResNetTrunk(nn.Module):

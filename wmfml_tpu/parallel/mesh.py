@@ -42,7 +42,17 @@ def create_mesh(mesh_shape: Optional[Dict[str, int]] = None,
     n = len(devices)
     if mesh_shape is None:
         if batch_divisor is not None and batch_divisor % n != 0:
-            n = max(d for d in range(1, n + 1) if batch_divisor % d == 0)
+            n_fit = max(d for d in range(1, n + 1) if batch_divisor % d == 0)
+            # never shrink silently: a production 8-chip run with
+            # tasks_per_batch=10 would otherwise quietly train on 2 chips
+            import logging
+
+            logging.getLogger("wmfml_tpu").warning(
+                "create_mesh: batch of %d tasks does not divide %d devices "
+                "— data axis shrunk to %d device(s); %d device(s) IDLE. "
+                "Pick tasks_per_batch divisible by the device count to use "
+                "the whole mesh.", batch_divisor, n, n_fit, n - n_fit)
+            n = n_fit
             devices = devices[:n]
         mesh_shape = {DATA_AXIS: n, MODEL_AXIS: 1}
     axis_names = tuple(mesh_shape.keys())

@@ -92,7 +92,8 @@ def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
     process = build_episode_processor(
         config.task, config.aug_list if train else [], train=train,
         compute_dtype=compute_dtype,
-        azimuth_only="azimuth_only" in config.aug_list)
+        azimuth_only="azimuth_only" in config.aug_list,
+        aug_random_order=getattr(config, "aug_random_order", True))
     adaptable_fn = model.adaptable_param_filter()
     update_lr = float(config.update_lr)
     first_order = bool(config.first_order)

@@ -50,7 +50,8 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
     process = build_episode_processor(
         config.task, config.aug_list if train else [], train=train,
         compute_dtype=compute_dtype,
-        azimuth_only="azimuth_only" in config.aug_list)
+        azimuth_only="azimuth_only" in config.aug_list,
+        aug_random_order=getattr(config, "aug_random_order", True))
     fast_lr = float(config.update_lr)
     first_order = bool(config.first_order)
     remat_mode = str(getattr(config, "maml_remat", "none") or "none")

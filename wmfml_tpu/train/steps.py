@@ -37,7 +37,8 @@ def make_forward(model, config, train: bool):
     process = build_episode_processor(
         config.task, config.aug_list if train else [], train=train,
         compute_dtype=_compute_dtype(config),
-        azimuth_only="azimuth_only" in config.aug_list)
+        azimuth_only="azimuth_only" in config.aug_list,
+        aug_random_order=getattr(config, "aug_random_order", True))
 
     def forward(variables, batch, key):
         k_aug, k_model = jax.random.split(key)
