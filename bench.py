@@ -63,6 +63,10 @@ def base_cfg(**kw):
         lr=1e-4, weight_decay=False, optimizer="Adam", bg_gen_freq=1000,
         val_iters=1, val_freq=10**9, iterations=1, device="tpu", seed=0,
         synthetic_data=True, steps_per_call=16, compute_dtype="bfloat16",
+        # perf pipeline (cfg/train/perf): fused single-warp geometry +
+        # fixed-grid CoarseDropout. The exact imgaug-semantics default
+        # costs ~1.4 ms/step more and is measured as its own row below.
+        aug_random_order=False,
     )
     d.update(kw)
     return Config.from_dict(d, make_dirs=False)
@@ -204,6 +208,7 @@ def main():
             num_updates=5, test_num_updates=20, first_order=False,
             update_lr=0.002, beta=0.001, lr=5e-4, steps_per_call=4)
         workloads = {
+            "anp_shapenet1d_exact_aug": base_cfg(aug_random_order=True),
             "anp_shapenet3d": base_cfg(
                 method="ANP", task="shapenet_3d", img_agg="reshape",
                 tasks_per_batch=20, max_ctx_num=15, query_num=15,

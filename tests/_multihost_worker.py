@@ -50,7 +50,42 @@ def main():
     # mean over tasks 1..4 => 2.5; labels 10..40 => 25
     np.testing.assert_allclose(float(mx), 2.5, rtol=1e-6)
     np.testing.assert_allclose(float(my), 25.0, rtol=1e-6)
-    print(f"worker {pid}: ok mx={float(mx)} my={float(my)}", flush=True)
+
+    # --- checkpoint round-trip across the cluster (round-2 VERDICT #9) ---
+    # every process participates in the orbax save of a SHARDED state and
+    # restores its own shards back bit-exactly (SURVEY §5 checkpoint plan:
+    # preemption recovery must work on multi-host meshes, not just chip 0)
+    import optax
+
+    from wmfml_tpu.ckpt.checkpoint import CheckpointManager
+    from wmfml_tpu.train.state import TrainState
+
+    run_dir = sys.argv[3]
+    w_local = np.stack([np.full((8,), float(t + 1), np.float32)
+                        for t in local_tasks])          # this host's rows
+    sharded = shard_batch(mesh_ctx.mesh, {"w": w_local})
+    state = TrainState.create({"params": {"w": sharded["w"]}},
+                              optax.sgd(0.1))
+    state = state.replace(step=np.asarray(7, np.int32))
+    mgr = CheckpointManager(run_dir)
+    mgr.save("model_multihost", state)
+    mgr.wait()
+
+    blank = TrainState.create(
+        {"params": {"w": shard_batch(mesh_ctx.mesh,
+                                     {"w": np.zeros_like(w_local)})["w"]}},
+        optax.sgd(0.1))
+    restored = CheckpointManager(run_dir).restore("model_multihost", blank)
+    assert int(restored.step) == 7
+    got_local = [shard.data for shard in
+                 restored.params["w"].addressable_shards]
+    want = np.stack([np.full((8,), float(t + 1), np.float32)
+                     for t in local_tasks])
+    got = np.concatenate([np.asarray(s).reshape(-1, 8) for s in got_local])
+    np.testing.assert_array_equal(np.sort(got, axis=0), want)
+
+    print(f"worker {pid}: ok mx={float(mx)} my={float(my)} ckpt=roundtrip",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -185,14 +185,40 @@ def coarse_dropout(key, img, p_hi=0.05, size_lo=0.02, size_hi=0.25,
     wl = jnp.maximum(jnp.round(w * sp), 1.0)
     h_max = max(int(round(h * size_hi)), 1)
     w_max = max(int(round(w * size_hi)), 1)
-    keep_c = jax.random.bernoulli(km, 1 - p, (h_max, w_max, c))
-    keep_s = jax.random.bernoulli(kc, 1 - p, (h_max, w_max, 1))
-    per_channel = jax.random.bernoulli(kpc, per_channel_p)
-    low = jnp.where(per_channel, keep_c,
-                    jnp.broadcast_to(keep_s, (h_max, w_max, c)))
-    iy = jnp.floor(jnp.arange(h) * hl / h).astype(jnp.int32)
-    ix = jnp.floor(jnp.arange(w) * wl / w).astype(jnp.int32)
-    mask = low[iy[:, None], ix[None, :], :]
+    if c == 1:
+        low = jax.random.bernoulli(kc, 1 - p, (h_max, w_max, 1))
+    else:
+        keep_c = jax.random.bernoulli(km, 1 - p, (h_max, w_max, c))
+        keep_s = jax.random.bernoulli(kc, 1 - p, (h_max, w_max, 1))
+        per_channel = jax.random.bernoulli(kpc, per_channel_p)
+        low = jnp.where(per_channel, keep_c,
+                        jnp.broadcast_to(keep_s, (h_max, w_max, c)))
+    # nearest-upsample via one-hot selection MATMULS, not a gather: a
+    # traced-index gather vmapped over the batch lowered to ~61 ms/step on
+    # v5e (27x the whole train step); two tiny matmuls instead
+    iy = jnp.floor(jnp.arange(h) * hl / h)
+    ix = jnp.floor(jnp.arange(w) * wl / w)
+    sel_r = (iy[:, None] == jnp.arange(h_max)[None, :]).astype(jnp.float32)
+    sel_c = (ix[:, None] == jnp.arange(w_max)[None, :]).astype(jnp.float32)
+    low_f = low.astype(jnp.float32).reshape(h_max, w_max * c)
+    m1 = (sel_r @ low_f).reshape(h, w_max, c)              # rows upsampled
+    mask = jnp.einsum("hwc,xw->hxc", m1, sel_c,
+                      preferred_element_type=jnp.float32)  # cols upsampled
+    return img * mask.astype(img.dtype)
+
+
+def coarse_dropout_fixed(key, img, p_hi=0.05):
+    """Fixed 16-px-grid CoarseDropout — the perf-pipeline approximation
+    (round-2 behavior): drop prob sampled, grid size NOT (statistically
+    inside imgaug's size_percent .02-.25 range). Kept for the fused
+    fixed-order pipelines, where the sampled-size form measured
+    +0.77 ms/step on the ANP-1D headline (RESULTS.md round 3)."""
+    kp, km = jax.random.split(key)
+    p = jax.random.uniform(kp, (), minval=0.0, maxval=p_hi)
+    h, w, c = img.shape
+    gh, gw = max(h // 16, 1), max(w // 16, 1)
+    low = jax.random.bernoulli(km, 1 - p, (gh, gw, 1))
+    mask = jnp.repeat(jnp.repeat(low, h // gh, axis=0), w // gw, axis=1)
     return img * mask
 
 
@@ -201,6 +227,14 @@ def one_of_dropout(key, img):
     kc, kd = jax.random.split(key)
     pick = jax.random.bernoulli(kc, 0.5)
     return jnp.where(pick, dropout(kd, img), coarse_dropout(kd, img))
+
+
+def one_of_dropout_fixed(key, img):
+    """Perf-pipeline variant: fixed-grid CoarseDropout (see
+    coarse_dropout_fixed)."""
+    kc, kd = jax.random.split(key)
+    pick = jax.random.bernoulli(kc, 0.5)
+    return jnp.where(pick, dropout(kd, img), coarse_dropout_fixed(kd, img))
 
 
 def geometric(key, img, scale=(0.8, 1.2), translate=0.1, p: float = 0.5):
@@ -270,13 +304,15 @@ PIPELINES = {
     "distractor": DISTRACTOR_OPS,
 }
 
-# fixed-order perf variant: CropAndPad + Affine fused into ONE warp
-# (half the resampling cost; order deviation documented in geometric())
+# fixed-order perf variant: CropAndPad + Affine fused into ONE warp (half
+# the resampling cost; order deviation documented in geometric()) and the
+# fixed-grid CoarseDropout (coarse_dropout_fixed)
+_DROP_FIXED = sometimes(one_of_dropout_fixed)
 FUSED_PIPELINES = {
-    "shapenet_3d": [geometric, _GAMMA, _BRIGHT, _BLUR, _DROP],
-    "pascal_1d": [geometric, _GAMMA, _BLUR, _DROP],
-    "shapenet_1d": [geometric, _DROP],
-    "distractor": [_AFFINE, _DROP],
+    "shapenet_3d": [geometric, _GAMMA, _BRIGHT, _BLUR, _DROP_FIXED],
+    "pascal_1d": [geometric, _GAMMA, _BLUR, _DROP_FIXED],
+    "shapenet_1d": [geometric, _DROP_FIXED],
+    "distractor": [_AFFINE, _DROP_FIXED],
 }
 
 
@@ -307,18 +343,26 @@ def build_augmenter(task: str, p: float = 0.5,
 
     branches = [batch_op(op) for op in ops]
 
+    def chain_one(key, img):
+        # fixed order: ONE vmap over the whole chain (a single per-image
+        # key split; the per-step vmap form measured ~1.9 ms/step slower)
+        keys = jax.random.split(key, n)
+        for k, op in zip(keys, ops):
+            img = op(k, img)
+        return img
+
     def augment(key, images):
         batch_shape = images.shape[:-3]
         flat = images.reshape((-1,) + images.shape[-3:])
-        kperm, kops = jax.random.split(key)
-        step_keys = jax.random.split(kops, n)
         if random_order:
+            kperm, kops = jax.random.split(key)
+            step_keys = jax.random.split(kops, n)
             perm = jax.random.permutation(kperm, n)
             for s in range(n):
                 flat = jax.lax.switch(perm[s], branches, step_keys[s], flat)
         else:
-            for s in range(n):
-                flat = branches[s](step_keys[s], flat)
+            keys = jax.random.split(key, flat.shape[0])
+            flat = jax.vmap(chain_one)(keys, flat)
         return flat.reshape(batch_shape + flat.shape[-3:])
 
     return augment

@@ -45,15 +45,23 @@ def build_episode_processor(task: str, aug_list, train: bool,
     augment = (build_augmenter(task, random_order=aug_random_order)
                if data_aug else None)
 
-    def maybe_augment(key, x):
-        return augment(key, x) if data_aug else x
+    def augment_pair(key, cx, qx):
+        """DA for ctx+qry. Exact mode augments them in two calls (the
+        reference draws a fresh random op order per generate() call);
+        the fused fixed-order mode runs ONE call over the concatenated
+        sets — same per-image distribution, half the kernel count."""
+        if not data_aug:
+            return cx, qx
+        k1, k2 = jax.random.split(key)
+        return augment(k1, cx), augment(k2, qx)
 
     if task == "shapenet_1d":
 
         def process(key, batch) -> Dict:
-            k_ctx, k_qry, k_ta = jax.random.split(key, 3)
-            ctx_x = maybe_augment(k_ctx, _to_float(batch["ctx_x"], compute_dtype))
-            qry_x = maybe_augment(k_qry, _to_float(batch["qry_x"], compute_dtype))
+            k_aug, k_ta = jax.random.split(key)
+            ctx_x, qry_x = augment_pair(
+                k_aug, _to_float(batch["ctx_x"], compute_dtype),
+                _to_float(batch["qry_x"], compute_dtype))
             ctx_y, qry_y = batch["ctx_y"], batch["qry_y"]
             if task_aug:
                 noise_vals = jnp.linspace(0.0, 2.0, 16)[:-1]
@@ -70,12 +78,11 @@ def build_episode_processor(task: str, aug_list, train: bool,
     elif task == "shapenet_3d":
 
         def process(key, batch) -> Dict:
-            k_ctx, k_qry, k_ele, k_azi = jax.random.split(key, 4)
+            k_aug, k_ele, k_azi = jax.random.split(key, 3)
             # strip alpha; images are stored float [0,1] RGBA
             ctx_x = _to_float(batch["ctx_x"], compute_dtype)[..., :3]
             qry_x = _to_float(batch["qry_x"], compute_dtype)[..., :3]
-            ctx_x = maybe_augment(k_ctx, ctx_x)
-            qry_x = maybe_augment(k_qry, qry_x)
+            ctx_x, qry_x = augment_pair(k_aug, ctx_x, qry_x)
             ctx_y, qry_y = batch["ctx_y"], batch["qry_y"]
             if task_aug:
                 t = ctx_y.shape[0]
@@ -92,12 +99,11 @@ def build_episode_processor(task: str, aug_list, train: bool,
     elif task == "distractor":
 
         def process(key, batch) -> Dict:
-            k_ctx, k_qry, k_ta = jax.random.split(key, 3)
+            k_aug, k_ta = jax.random.split(key)
             # invert before augmentation (255 - x on uint8 == 1 - x/255)
             ctx_x = 1.0 - _to_float(batch["ctx_x"], compute_dtype)
             qry_x = 1.0 - _to_float(batch["qry_x"], compute_dtype)
-            ctx_x = maybe_augment(k_ctx, ctx_x)
-            qry_x = maybe_augment(k_qry, qry_x)
+            ctx_x, qry_x = augment_pair(k_aug, ctx_x, qry_x)
             ctx_y, qry_y = batch["ctx_y"], batch["qry_y"]
             if task_aug:
                 shift = jax.random.randint(
@@ -110,9 +116,10 @@ def build_episode_processor(task: str, aug_list, train: bool,
     elif task == "pascal_1d":
 
         def process(key, batch) -> Dict:
-            k_ctx, k_qry, k_ta = jax.random.split(key, 3)
-            ctx_x = maybe_augment(k_ctx, _to_float(batch["ctx_x"], compute_dtype))
-            qry_x = maybe_augment(k_qry, _to_float(batch["qry_x"], compute_dtype))
+            k_aug, k_ta = jax.random.split(key)
+            ctx_x, qry_x = augment_pair(
+                k_aug, _to_float(batch["ctx_x"], compute_dtype),
+                _to_float(batch["qry_x"], compute_dtype))
             ctx_y, qry_y = batch["ctx_y"], batch["qry_y"]
             if task_aug:
                 noise_vals = jnp.array([0.0, 0.25, 0.5, 0.75], ctx_y.dtype)

@@ -23,3 +23,14 @@ def seed_everything(seed: int):
     jax PRNG key threaded through every step."""
     random.seed(seed)
     np.random.seed(seed)
+
+
+def apply_prng_impl(config):
+    """Apply config.prng_impl ("rbg" = faster counter-based key derivation
+    for the on-device aug/dropout streams; default "threefry" keeps
+    bit-reproducibility with earlier runs). Must run before any PRNGKey."""
+    impl = getattr(config, "prng_impl", "threefry")
+    if impl and impl != "threefry":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", impl)

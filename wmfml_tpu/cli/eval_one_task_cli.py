@@ -7,7 +7,7 @@ against per-task refinement.
 
 from __future__ import annotations
 
-from wmfml_tpu.cli.common import parse_args, seed_everything
+from wmfml_tpu.cli.common import apply_prng_impl, parse_args, seed_everything
 from wmfml_tpu.configs import Config
 from wmfml_tpu.data.factory import build_data
 from wmfml_tpu.data.refinement import RefinementSampler
@@ -17,6 +17,7 @@ from wmfml_tpu.models.registry import build_model
 
 def evaluate(config: Config):
     seed_everything(config.seed)
+    apply_prng_impl(config)
     base = build_data(config, mode="eval")
     data = RefinementSampler(base, ctx_num=config.max_ctx_num, seed=42,
                              source="test")

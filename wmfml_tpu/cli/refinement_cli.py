@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from wmfml_tpu.cli.common import parse_args, seed_everything
+from wmfml_tpu.cli.common import apply_prng_impl, parse_args, seed_everything
 from wmfml_tpu.configs import Config
 from wmfml_tpu.data.factory import build_data
 from wmfml_tpu.data.refinement import RefinementSampler
@@ -20,6 +20,7 @@ from wmfml_tpu.models.registry import build_model
 
 def refine(config: Config):
     seed_everything(config.seed)
+    apply_prng_impl(config)
     base = build_data(config, mode="eval")
     model = build_model(config)
     best_per_ctx = []

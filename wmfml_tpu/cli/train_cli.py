@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import sys
 
-from wmfml_tpu.cli.common import parse_args, seed_everything
+from wmfml_tpu.cli.common import apply_prng_impl, parse_args, seed_everything
 from wmfml_tpu.configs import Config
 from wmfml_tpu.data.factory import build_data
 from wmfml_tpu.models.registry import build_model
@@ -20,6 +20,7 @@ from wmfml_tpu.obs import NonFiniteLossError
 
 def train(config: Config):
     seed_everything(config.seed)
+    apply_prng_impl(config)
     data = build_data(config, mode="train")
     model = build_model(config)
 

@@ -173,6 +173,14 @@ class Config:
         # option at networks/conv_embedding_model.py:76-88; its shipped
         # config hard-codes it off, MMAMLShapeNet1D.py:72)
         self.rnn_aggregation = get("rnn_aggregation", False)
+        # "rbg": faster counter-based PRNG for the on-device aug/dropout
+        # mask streams (measured +~2% headline); default threefry keeps
+        # bit-reproducibility with earlier runs. Applied by the CLIs.
+        self.prng_impl = get("prng_impl", "threefry")
+        # optax.flatten around the optimizer: one concatenated-vector Adam
+        # update instead of per-leaf kernels (small-kernel regime win);
+        # identical math, different opt_state layout
+        self.flatten_opt = get("flatten_opt", True)
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes

@@ -44,6 +44,11 @@ from wmfml_tpu.nn.mlp import MLP, Dense, EncoderFC
 from wmfml_tpu.ops.setops import baco, masked_max, masked_mean
 
 
+# fuse ctx+qry through shared image encoders as ONE conv batch (identical
+# math; measured per-kernel fixed-cost win — see RESULTS.md round 3)
+MERGE_CTX_QRY = True
+
+
 def _flat_apply(module, x):
     """Apply an image module to [T, N, H, W, C] via one [T*N] mega-batch."""
     t, n = x.shape[:2]
@@ -100,8 +105,18 @@ class SmallCNP(nn.Module):
         else:
             enc_mod = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
                                         name="encoder_w0")
-            x_qry = _flat_apply(enc_mod, qry_x)              # [T, Q, dim_w]
-            x_ctx = _flat_apply(enc_mod, ctx_x)              # [T, S, dim_w]
+            if MERGE_CTX_QRY:
+                # ONE conv mega-batch for ctx+qry (identical math — the
+                # encoder is batch-independent): halves the per-kernel fixed
+                # cost of the conv chain in this small-kernel regime
+                s_num = ctx_x.shape[1]
+                both = _flat_apply(enc_mod,
+                                   jnp.concatenate([ctx_x, qry_x], axis=1))
+                x_ctx = both[:, :s_num]                      # [T, S, dim_w]
+                x_qry = both[:, s_num:]                      # [T, Q, dim_w]
+            else:
+                x_qry = _flat_apply(enc_mod, qry_x)
+                x_ctx = _flat_apply(enc_mod, ctx_x)
 
         transform_y = Dense(self.dim_w // 4, dtype=self.dtype,
                             name="transform_y")
@@ -203,6 +218,7 @@ class LargeCNP(nn.Module):
                  qry_y=None):
         h = self.h_dim
         kl = 0.0
+        need_qry_feats = self.agg_mode == "attention" or (self.fcl and train)
         if self.bbb_trunk:
             trunk_mod = BBBResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
                                        name="img_encoder")
@@ -212,10 +228,24 @@ class LargeCNP(nn.Module):
                 out, kl_ = trunk_mod(x.reshape((t * n,) + x.shape[2:]))
                 return out.reshape((t, n, -1)), kl_
             x_ctx, _ = trunk(ctx_x)
+            x_qry = None
+            if need_qry_feats:
+                x_qry, kl = trunk(qry_x)   # kl from the query pass —
+                # separate calls keep the reference's independent BBB weight
+                # samples for ctx vs qry (networks/ANPMRShapeNet3D.py:199-200)
         else:
             trunk_mod = ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
                                     name="img_encoder")
-            x_ctx = _flat_apply(trunk_mod, ctx_x)             # [T, S, F]
+            if need_qry_feats:
+                # ONE conv mega-batch for ctx+qry (identical math): halves
+                # the trunk's per-kernel fixed costs
+                s_num = ctx_x.shape[1]
+                both = _flat_apply(
+                    trunk_mod, jnp.concatenate([ctx_x, qry_x], axis=1))
+                x_ctx, x_qry = both[:, :s_num], both[:, s_num:]
+            else:
+                x_ctx = _flat_apply(trunk_mod, ctx_x)         # [T, S, F]
+                x_qry = None
 
         if self.label_embed_dim is not None:
             transform_y = Dense(self.label_embed_dim, dtype=self.dtype,
@@ -234,14 +264,6 @@ class LargeCNP(nn.Module):
         latent_var = (Dense(h, dtype=self.dtype, name="latent_var")
                       if self.agg_mode == "baco" else None)
         q_num = qry_x.shape[1]
-        need_qry_feats = self.agg_mode == "attention" or (self.fcl and train)
-        if need_qry_feats:
-            if self.bbb_trunk:
-                x_qry, kl = trunk(qry_x)   # kl from the query pass
-            else:
-                x_qry = _flat_apply(trunk_mod, qry_x)
-        else:
-            x_qry = None
 
         def aggregate(reps, mask):
             """mean/max/baco latent over a set (shared ctx/FCL-query path)."""

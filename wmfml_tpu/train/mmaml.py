@@ -99,8 +99,11 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
 
 def build_mmaml_optimizer(config):
     """Two Adams with per-network global-norm clipping, as one transform."""
+    adam = optax.adam(config.lr)
+    if getattr(config, "flatten_opt", True):
+        adam = optax.flatten(adam)  # one fused vector update per network
     per_net = optax.chain(optax.clip_by_global_norm(OUTER_GRAD_NORM_CLIP),
-                          optax.adam(config.lr))
+                          adam)
     return optax.multi_transform(
         {"model": per_net, "embedding": per_net},
         param_labels={"model": "model", "embedding": "embedding"})
