@@ -62,27 +62,3 @@ def test_favor_mask_equals_slicing():
     got = np.asarray(favor_attention(q, k, v, proj, mask))
     want = np.asarray(favor_attention(q, k[:, :5], v[:, :5], proj))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
-
-
-def test_pallas_kernel_matches_einsum():
-    from wmfml_tpu.ops.favor_pallas import favor_attention_fused
-
-    d, m, e = 64, 256, 64
-    q = rng.randn(4, 5, d).astype(np.float32) * 0.3
-    k = rng.randn(4, 7, d).astype(np.float32) * 0.3
-    v = rng.randn(4, 7, e).astype(np.float32)
-    proj = gaussian_orthogonal_random_matrix(jax.random.PRNGKey(3), m, d)
-    mask = np.ones((4, 7), bool)
-    mask[:, 5:] = False
-
-    want = np.asarray(favor_attention(jnp.asarray(q), jnp.asarray(k),
-                                      jnp.asarray(v), proj,
-                                      jnp.asarray(mask)))
-    got = np.asarray(favor_attention_fused(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), proj,
-        jnp.asarray(mask), interpret=True))
-    # key stabilizer is per-slice in the kernel vs per-call in einsum; it
-    # cancels up to the 1e-4 eps, leaving small absolute differences on
-    # near-zero outputs — compare with an absolute floor + correlation
-    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
-    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.9999

@@ -146,3 +146,33 @@ def test_masked_losses_ignore_padding():
     want = np.mean(np.sqrt(np.sum((gt[:, :4] - pr[:, :4]) ** 2, axis=-1)))
     got = float(euclidean_distance_loss(gt, pr, mask))
     assert abs(got - want) < 1e-5
+
+
+def test_nt_xent_saturated_grad_finite():
+    """Regression: FCLANP (t=0.007) NaN'd deterministically at ~iter 60-90.
+
+    Once the encoder saturates (same-task reps aligned, cross-task reps
+    anti-aligned), |sim|/t exceeds exp's f32 range on the entries the
+    negative mask EXCLUDES; exp-then-mask leaked 0*inf=NaN into the
+    backward pass while the forward stayed finite (loss exactly 0.0).
+    The mask must go through the exp as -inf. See losses.py nt_xent.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t_, q_, d_ = 4, 5, 8
+    dirs = np.zeros((t_, d_), np.float32)
+    for i in range(t_):
+        dirs[i, i] = 1.0
+    dirs[1] = -dirs[0]  # an anti-aligned task pair drives sim to -1/t
+    z = np.repeat(dirs[:, None, :], q_, axis=1) * 3.0
+
+    grad = jax.jit(jax.value_and_grad(
+        lambda z: contrastive_loss_anp(jnp.asarray(z), t=0.007)))
+    val, g = grad(z)
+    assert float(val) == 0.0  # fully saturated
+    assert np.isfinite(np.asarray(g)).all()
+
+    z[0, 0] = 0.0  # zero-norm row must not NaN either (sqrt'(0) guard)
+    val, g = grad(z)
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(g)).all()

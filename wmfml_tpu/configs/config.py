@@ -161,10 +161,6 @@ class Config:
         self.prefetch = get("prefetch", 2)
         self.data_path = get("data_path", None)  # override dataset root
         self.synthetic_data = get("synthetic_data", False)
-        # fused Pallas FAVOR+ kernel: opt-in — at this workload's tiny
-        # attention sizes XLA's fused einsums measure faster (see bench);
-        # the kernel pays off at larger context/feature sizes
-        self.use_pallas = get("use_pallas", False)
         # exact imgaug semantics: per-call random op order (the reference's
         # iaa.Sequential(random_order=True)). False selects the fused
         # fixed-order geometry pipeline (one warp instead of two; perf cfgs)

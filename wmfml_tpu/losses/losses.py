@@ -97,7 +97,10 @@ def nt_xent(z: jnp.ndarray, labels: jnp.ndarray, temperature: float = 0.07):
     positive pairs. (`/root/reference/trainer/losses.py:82-99` semantics.)
     """
     n = z.shape[0]
-    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+    # clamp BEFORE the sqrt: sqrt'(0)=inf would leak 0*inf=NaN through a
+    # post-hoc maximum() if a row were exactly zero
+    z = z / jnp.sqrt(jnp.maximum(
+        jnp.sum(z * z, axis=-1, keepdims=True), 1e-24))
     sim = (z @ z.T) / temperature  # [N, N]
 
     same = labels[:, None] == labels[None, :]
@@ -105,12 +108,16 @@ def nt_xent(z: jnp.ndarray, labels: jnp.ndarray, temperature: float = 0.07):
     pos_mask = same & ~eye          # ordered positive pairs
     neg_mask = ~same                # negatives per anchor (row)
 
-    # log-sum-exp over negatives per anchor, computed stably.
+    # log-sum-exp over negatives per anchor, computed stably. The mask must
+    # be applied BEFORE the exp (excluded entries enter as -inf -> exp 0,
+    # zero gradient): exp'ing the raw sim first overflows on the excluded
+    # same-label entries once embeddings saturate (|sim| ~ 1/t > 88 for
+    # t=0.007), and the discarded inf leaks 0*inf=NaN into the backward
+    # pass — observed as a deterministic NaN at FCLANP iteration ~60-90.
     neg_sim = jnp.where(neg_mask, sim, -jnp.inf)
     neg_max = jnp.max(neg_sim, axis=1, keepdims=True)
     neg_max = jnp.where(jnp.isfinite(neg_max), neg_max, 0.0)
-    neg_sum = jnp.sum(jnp.where(neg_mask, jnp.exp(sim - neg_max), 0.0), axis=1,
-                      keepdims=True)
+    neg_sum = jnp.sum(jnp.exp(neg_sim - neg_max), axis=1, keepdims=True)
 
     # For each positive pair: denom = exp(s_ap - m) + sum_neg exp(s_an - m)
     # with shared shift m = max(neg_max, s_ap) for stability.

@@ -85,7 +85,6 @@ class SmallCNP(nn.Module):
     tanh_out: bool = True          # ShapeNet1D: Tanh head; Pascal1D: linear
     bbb_encoder: bool = False
     fcl: bool = False
-    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -145,7 +144,6 @@ class SmallCNP(nn.Module):
         elif self.agg_mode == "attention":
             rep = MultiheadFavorCrossAttention(
                 h_dim=self.dim_w, n_heads=8, dtype=self.dtype,
-                use_pallas=self.use_pallas,
                 name="cross_attn")(x_ctx, rs, x_qry, mask=ctx_mask)
             z = r_to_z(rep)                                   # [T, Q, dim_z]
         else:
@@ -210,7 +208,6 @@ class LargeCNP(nn.Module):
     label_embed_dim: Optional[int] = None  # distractor: dim_w; else raw concat
     bbb_trunk: bool = False
     fcl: bool = False
-    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -285,7 +282,6 @@ class LargeCNP(nn.Module):
         if self.agg_mode == "attention":
             rep = MultiheadFavorCrossAttention(
                 h_dim=h, n_heads=8, dtype=self.dtype,
-                use_pallas=self.use_pallas,
                 name="cross_attn")(x_ctx, feats, x_qry, mask=ctx_mask)
             sample = mu_head(rep)                              # [T, Q, h]
         else:

@@ -42,15 +42,6 @@ def _dtype(config):
     return jnp.bfloat16 if getattr(config, "compute_dtype", "float32") == "bfloat16" else None
 
 
-def _use_pallas(config):
-    """Fused FAVOR+ kernel only on real TPU backends."""
-    import jax
-
-    try:
-        return bool(getattr(config, "use_pallas", True)) and \
-            jax.default_backend() not in ("cpu", "gpu")
-    except Exception:
-        return False
 
 
 # -- small (literature-encoder) family ---------------------------------------
@@ -59,7 +50,7 @@ def _small(config, agg_mode, tanh_out):
     return SmallCNP(
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
-        agg_mode=agg_mode, tanh_out=tanh_out, use_pallas=_use_pallas(config),
+        agg_mode=agg_mode, tanh_out=tanh_out,
         dtype=_dtype(config))
 
 
@@ -92,7 +83,7 @@ def _(config):
 def _large(config, agg_mode, label_embed=None):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode=agg_mode, y_dim=config.output_dim,
-        label_embed_dim=label_embed, use_pallas=_use_pallas(config),
+        label_embed_dim=label_embed,
         dtype=_dtype(config))
 
 
@@ -123,7 +114,7 @@ def _small_mr(config, agg_mode, tanh_out):
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
         agg_mode=agg_mode, tanh_out=tanh_out, bbb_encoder=True,
-        use_pallas=_use_pallas(config), dtype=_dtype(config))
+        dtype=_dtype(config))
 
 
 @register("CNPMR")
@@ -151,7 +142,7 @@ def _(config):
 def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode="attention", y_dim=config.output_dim,
-        bbb_trunk=True, use_pallas=_use_pallas(config), dtype=_dtype(config))
+        bbb_trunk=True, dtype=_dtype(config))
 
 
 # -- FCL (functional contrastive learning) variants ---------------------------
@@ -162,7 +153,7 @@ def _(config):
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
         agg_mode=config.agg_mode, tanh_out=True, fcl=True,
-        use_pallas=_use_pallas(config), dtype=_dtype(config))
+        dtype=_dtype(config))
 
 
 @register("FCLCNPDistractor")
@@ -170,14 +161,14 @@ def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode=config.agg_mode,
         y_dim=config.output_dim, label_embed_dim=config.dim_w, fcl=True,
-        use_pallas=_use_pallas(config), dtype=_dtype(config))
+        dtype=_dtype(config))
 
 
 @register("FCLANP")
 def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode="attention", y_dim=config.output_dim,
-        fcl=True, use_pallas=_use_pallas(config), dtype=_dtype(config))
+        fcl=True, dtype=_dtype(config))
 
 
 # -- MAML family ---------------------------------------------------------------

@@ -7,11 +7,11 @@ math directly in JAX:
   * positive softmax random features with orthogonal Gaussian projections,
   * non-causal linear attention: out = (q' (k'^T v)) / (q' sum(k')),
 
-plus two TPU-first upgrades:
-  * context masking — padded context rows are zeroed *after* featurization so
-    variable-shot episodes share one compiled program;
-  * an optional fused Pallas kernel for the feature map + attention einsums
-    (wmfml_tpu.ops.favor_pallas) used on the hot path.
+plus a TPU-first upgrade: context masking — padded context rows are zeroed
+*after* featurization so variable-shot episodes share one compiled program.
+(A fused Pallas kernel for the feature map + attention einsums was built,
+benchmarked across an (N, d) grid, and removed: XLA's fused einsums win at
+every size the kernel could compile — grid and write-up in RESULTS.md.)
 
 Head layout follows the reference exactly: 8 heads each of FULL model width
 (256), per-head q/k/v projections initialized N(0, d^-0.5), concat -> output
@@ -116,7 +116,6 @@ class FastAttention(nn.Module):
     dim_heads: int
     nb_features: Optional[int] = None
     ortho_scaling: int = 0
-    use_pallas: bool = False
 
     @property
     def num_features(self) -> int:
@@ -131,19 +130,6 @@ class FastAttention(nn.Module):
                 else jax.random.PRNGKey(0),
                 self.num_features, self.dim_heads, self.ortho_scaling),
         )
-        if self.use_pallas and q.ndim == 4:
-            from wmfml_tpu.ops.favor_pallas import favor_attention_pallas
-
-            t, h, nq, d = q.shape
-            nk = k.shape[2]
-            if mask is None:
-                mask_b = jnp.ones((t * h, nk), bool)
-            else:
-                mask_b = jnp.broadcast_to(mask, (t, h, nk)).reshape(t * h, nk)
-            out = favor_attention_pallas(
-                q.reshape(t * h, nq, d), k.reshape(t * h, nk, d),
-                v.reshape(t * h, nk, -1), projection.value, mask_b)
-            return out.reshape(t, h, nq, -1)
         return favor_attention(q, k, v, projection.value, mask)
 
 
@@ -179,7 +165,6 @@ class MultiheadFavorCrossAttention(nn.Module):
     h_dim: int = 256
     n_heads: int = 8
     nb_features: Optional[int] = None
-    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -200,7 +185,6 @@ class MultiheadFavorCrossAttention(nn.Module):
 
         attn_mask = None if mask is None else mask[:, None, :]  # [T, 1, Nk]
         outs = FastAttention(dim_heads=self.h_dim, nb_features=self.nb_features,
-                             use_pallas=self.use_pallas,
                              name="favor")(q_all, k_all, v_all, attn_mask)
         # [T, H, Nq, d] -> [T, Nq, H*d]
         t, h, nq, d = outs.shape
