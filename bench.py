@@ -208,6 +208,10 @@ def main():
             num_updates=5, test_num_updates=20, first_order=False,
             update_lr=0.002, beta=0.001, lr=5e-4, steps_per_call=4)
         workloads = {
+            # throughput-tuned batch (cfg/train/perf .._T40): per-task cost
+            # keeps dropping past the reference batch; reported alongside
+            # the reference-batch headline, never in place of it
+            "anp_shapenet1d_t40": base_cfg(tasks_per_batch=40),
             "anp_shapenet1d_exact_aug": base_cfg(aug_random_order=True),
             "anp_shapenet3d": base_cfg(
                 method="ANP", task="shapenet_3d", img_agg="reshape",
