@@ -62,7 +62,11 @@ def base_cfg(**kw):
         n_hidden_units_r=[100, 100], dim_r=64, dim_z=64, noise_scale=0.0,
         lr=1e-4, weight_decay=False, optimizer="Adam", bg_gen_freq=1000,
         val_iters=1, val_freq=10**9, iterations=1, device="tpu", seed=0,
-        synthetic_data=True, steps_per_call=16, compute_dtype="bfloat16",
+        # steps_per_call=64: interleaved sweep (RESULTS.md round 3) measured
+        # 4.01/3.01/2.81/2.49/2.44/2.36 ms/step at K=8/16/32/64/128/256 in
+        # one window; 64 is the production recommendation (val cadence 64
+        # ~= the reference's 50; beyond it is <5% for 4x staging HBM)
+        synthetic_data=True, steps_per_call=64, compute_dtype="bfloat16",
         # perf pipeline (cfg/train/perf): fused single-warp geometry +
         # fixed-grid CoarseDropout. The exact imgaug-semantics default
         # costs ~1.4 ms/step more and is measured as its own row below.
@@ -216,7 +220,7 @@ def main():
             "anp_shapenet3d": base_cfg(
                 method="ANP", task="shapenet_3d", img_agg="reshape",
                 tasks_per_batch=20, max_ctx_num=15, query_num=15,
-                dim_w=None, gen_bg=True, steps_per_call=16),
+                dim_w=None, gen_bg=True, steps_per_call=64),
             "maml_shapenet1d": base_cfg(method="MAMLShapeNet1D", **maml_kw),
             "mmaml_shapenet1d": base_cfg(
                 method="MMAMLShapeNet1D",

@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--calls", type=int, default=6)
+    ap.add_argument("--variants-json", default=None,
+                    help='override variant set, e.g. \'{"k16": {"steps_per_call": 16}}\'')
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -36,6 +38,8 @@ def main():
         "t40_fused": dict(aug_random_order=False, tasks_per_batch=40,
                           steps_per_call=16),
     }
+    if args.variants_json:
+        variants = json.loads(args.variants_json)
 
     compiled = {}
     key = jax.random.PRNGKey(7)
