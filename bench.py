@@ -10,8 +10,10 @@ augmentation + forward + backward + Adam in fused multi-step dispatches.
 Also measured (carried in the "extra" field; the driver records the full
 line in BENCH_r{N}.json): ANP ShapeNet3D (online backgrounds), MAML and
 MMAML ShapeNet1D (5 inner steps, second order). Per workload we report
-model FLOPs/step from XLA's own cost analysis of the compiled program,
-achieved FLOP/s, and MFU against the chip's bf16 peak.
+model FLOPs/step from XLA's own cost analysis of a K=1 compile of the same
+workload (HLO cost analysis counts scan/while bodies ONCE regardless of
+trip count, so the K-step program's numbers are neither per-call nor
+per-step), achieved FLOP/s, and MFU against the chip's bf16 peak.
 
 Timing forces a host fetch of the final loss — on this platform
 ``block_until_ready`` returns before remote execution completes, so a fetch
@@ -140,26 +142,49 @@ def build_step(cfg):
     return step, state, K
 
 
-def run_workload(name: str, cfg, calls: int) -> dict:
+def step_cost(cfg, deadline: float):
+    """Per-step (flops, bytes) from a K=1 AOT compile of the same workload.
+
+    HLO cost analysis counts a while/scan body ONCE regardless of trip
+    count (measured: lax.scan of the same matmul at length 4/16/64 all
+    report identical flops), so the K-step training program's cost numbers
+    are neither per-call nor per-step — through round 2 this understated
+    per-step FLOPs/MFU by ~K. A K=1 program's body + staging is exactly
+    one step, so its cost IS the per-step cost.
+    """
+    import copy
+
+    import jax
+
+    if time.perf_counter() > deadline:
+        return None, None
+    cfg1 = copy.copy(cfg)
+    cfg1.steps_per_call = 1
+    step, state, _ = build_step(cfg1)
+    try:
+        compiled = step._jitted.lower(state, step._arrays(),
+                                      jax.random.PRNGKey(0)).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return (float(cost.get("flops", 0.0)) or None,
+                float(cost.get("bytes accessed", 0.0)) or None)
+    except Exception:
+        return None, None  # cost is best-effort; throughput stays honest
+
+
+def run_workload(name: str, cfg, calls: int, deadline: float) -> dict:
     import jax
 
     step, state, K = build_step(cfg)
     key = jax.random.PRNGKey(7)
 
-    # compile ONCE ahead-of-time: the same compiled object serves both the
-    # cost analysis (XLA's own FLOP count) and the timed execution
+    # compile the timed K-step program ahead-of-time; per-step flops/bytes
+    # come from a separate K=1 compile (see step_cost docstring)
     arrays = step._arrays()
     compiled = step._jitted.lower(state, arrays,
                                   jax.random.fold_in(key, 0)).compile()
-    flops_per_call = bytes_per_call = None
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_call = float(cost.get("flops", 0.0)) or None
-        bytes_per_call = float(cost.get("bytes accessed", 0.0)) or None
-    except Exception:
-        pass  # cost analysis is best-effort; throughput is still honest
+    flops_per_step, bytes_per_step = step_cost(cfg, deadline)
 
     for i in range(2):  # warmup (fetch forces completion)
         state, metrics = compiled(state, arrays, jax.random.fold_in(key, i))
@@ -182,14 +207,14 @@ def run_workload(name: str, cfg, calls: int) -> dict:
         "tasks_per_sec": round(steps * cfg.tasks_per_batch / dt / n_dev, 2),
         "ms_per_step": round(1000 * dt / steps, 3),
     }
-    if flops_per_call:
-        achieved = flops_per_call * calls / dt / n_dev
-        out["gflops_per_step"] = round(flops_per_call / K / 1e9, 2)
+    if flops_per_step:
+        achieved = flops_per_step * steps / dt / n_dev
+        out["gflops_per_step"] = round(flops_per_step / 1e9, 2)
         out["tflops_per_sec"] = round(achieved / 1e12, 2)
         out["mfu_pct"] = round(100 * achieved / chip_peak(), 2)
-    if bytes_per_call:
+    if bytes_per_step:
         out["hbm_gb_per_sec"] = round(
-            bytes_per_call * calls / dt / n_dev / 1e9, 1)
+            bytes_per_step * steps / dt / n_dev / 1e9, 1)
     return out
 
 
@@ -200,11 +225,12 @@ def main():
     # headline JSON line
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     t_start = time.perf_counter()
+    deadline = t_start + budget_s
     results = {}
 
     headline_cfg = base_cfg()
     results["anp_shapenet1d"] = run_workload("anp_shapenet1d", headline_cfg,
-                                             calls=25)
+                                             calls=25, deadline=deadline)
 
     if not fast:
         maml_kw = dict(
@@ -232,7 +258,8 @@ def main():
                                             "(degraded compile service)"}
                 continue
             try:
-                results[name] = run_workload(name, cfg, calls=8)
+                results[name] = run_workload(name, cfg, calls=8,
+                                             deadline=deadline)
             except Exception as e:  # never lose the headline line
                 results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
