@@ -120,3 +120,27 @@ def test_conv_embedding_gru_aggregation_masked_parity():
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(out_padded, out_perm))
+
+
+def test_mmaml_optimizer_flatten_gate():
+    """build_mmaml_optimizer flattens on the flag ALONE (MMAML state is
+    always replicated — no TP placements to conflict with), is stable
+    across mesh shapes, and flatten_opt=false keeps per-leaf state
+    (round-3 review fix)."""
+    from wmfml_tpu.train.mmaml import build_mmaml_optimizer
+
+    params = {"model": {"w": jnp.ones((3, 4))},
+              "embedding": {"e": jnp.ones((2,))}}
+
+    def mu_leaf_shapes(cfg):
+        opt_state = build_mmaml_optimizer(cfg).init(params)
+        return sorted(
+            x.shape for x in jax.tree_util.tree_leaves(opt_state)
+            if hasattr(x, "shape") and x.size > 1)
+
+    flat = mu_leaf_shapes(mmaml_cfg())
+    flat_tp = mu_leaf_shapes(mmaml_cfg(mesh_shape={"data": 1, "model": 2}))
+    per_leaf = mu_leaf_shapes(mmaml_cfg(flatten_opt=False))
+    assert all(len(s) == 1 for s in flat)   # flattened: 1-D vectors only
+    assert flat_tp == flat                  # layout independent of mesh
+    assert (3, 4) in per_leaf               # flag off: per-leaf shapes

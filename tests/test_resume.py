@@ -59,3 +59,33 @@ def test_orbax_full_state_resume(tmp_path):
     assert int(t2.state.step) == 8
     assert os.path.isdir(os.path.join(cfg2.save_path, "models",
                                       "model_end_8"))
+
+
+def test_restore_flatten_mismatch_raises_actionable_error(tmp_path):
+    """A checkpoint saved with one `flatten_opt` layout must fail restore
+    under the other with a hint naming the config key (round-3 review
+    fix), not a bare orbax tree error."""
+    import jax
+
+    from wmfml_tpu.ckpt.checkpoint import CheckpointManager
+    from wmfml_tpu.train.state import TrainState, build_optimizer
+
+    def make_state(flatten):
+        cfg = make_cfg(method="CNPShapeNet1D", task="shapenet_1d",
+                       agg_mode="max", flatten_opt=flatten)
+        model = build_model(cfg)
+        h, w, c = cfg.img_size
+        batch = dict(
+            ctx_x=np.zeros((1, 2, h, w, c), np.float32),
+            ctx_y=np.zeros((1, 2, 3), np.float32),
+            ctx_mask=np.ones((1, 2), bool),
+            qry_x=np.zeros((1, 2, h, w, c), np.float32),
+        )
+        variables = model.init(jax.random.PRNGKey(0), **batch)
+        return TrainState.create(variables, build_optimizer(cfg))
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("model_intermediate", make_state(flatten=False))
+    mgr.wait()
+    with pytest.raises(RuntimeError, match="flatten_opt"):
+        mgr.restore("model_intermediate", make_state(flatten=True))

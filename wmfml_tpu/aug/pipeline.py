@@ -46,10 +46,10 @@ def build_episode_processor(task: str, aug_list, train: bool,
                if data_aug else None)
 
     def augment_pair(key, cx, qx):
-        """DA for ctx+qry. Exact mode augments them in two calls (the
-        reference draws a fresh random op order per generate() call);
-        the fused fixed-order mode runs ONE call over the concatenated
-        sets — same per-image distribution, half the kernel count."""
+        """DA for ctx+qry: always two calls, like the reference's two
+        generate() calls. (A single concatenated call was measured 0.6
+        ms/step SLOWER — it serializes against the encoder's merged
+        ctx+qry batch; RESULTS.md round 3 — and was reverted.)"""
         if not data_aug:
             return cx, qx
         k1, k2 = jax.random.split(key)

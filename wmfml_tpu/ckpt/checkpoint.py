@@ -76,7 +76,22 @@ class CheckpointManager:
             "extra_vars": state.extra_vars,
             "opt_state": state.opt_state,
         }
-        restored = self._ckpt.restore(path, target)
+        try:
+            restored = self._ckpt.restore(path, target)
+        except Exception as e:
+            # the most common structure mismatch: the checkpoint was saved
+            # with a different optimizer layout than the current config
+            # builds (optax.flatten wraps the opt_state in one concatenated
+            # vector; config key `flatten_opt`, default true)
+            raise RuntimeError(
+                f"checkpoint restore failed for {path!r}: {e}\n"
+                "If only the 'opt_state' subtree mismatches, the checkpoint "
+                "was probably saved with the opposite `flatten_opt` setting "
+                "(the flattened Adam landed with default true; older "
+                "checkpoints carry per-leaf state). Set `flatten_opt: "
+                "false` (or true) in the config to match the save-time "
+                "layout — the model params are unaffected either way."
+            ) from e
         return state.replace(step=restored["step"], params=restored["params"],
                              extra_vars=restored["extra_vars"],
                              opt_state=restored["opt_state"])

@@ -235,6 +235,15 @@ class Config:
             sh.setFormatter(logging.Formatter("%(message)s"))
             self.logger.addHandler(sh)
         log_file = os.path.abspath(f"{self.save_path}/log.log")
+        # the logger is a process-wide singleton: detach any FileHandler
+        # pointing at a DIFFERENT run's log.log, or a second run in the
+        # same process (sweep drivers, test suites) would append its lines
+        # into every earlier run's file
+        for h in list(self.logger.handlers):
+            if (isinstance(h, logging.FileHandler)
+                    and getattr(h, "baseFilename", None) != log_file):
+                self.logger.removeHandler(h)
+                h.close()
         if not any(isinstance(h, logging.FileHandler)
                    and getattr(h, "baseFilename", None) == log_file
                    for h in self.logger.handlers):

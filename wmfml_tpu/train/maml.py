@@ -105,7 +105,7 @@ def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
     # measured fastest); eval: scan — test_num_steps is 10-20 and unrolling
     # it only multiplies compile time (no outer grad to schedule around)
     unroll = (int(getattr(config, "maml_unroll", 0) or 0)
-              or (num_steps if train else 1))
+              or (max(num_steps, 1) if train else 1))  # scan needs unroll>=1
 
     def outer(params, batch, key):
         if learn_ss:
@@ -142,7 +142,11 @@ def build_maml_outer(model, config, num_steps: int, train: bool, test: bool):
             p = merge_params(adapted, frozen)
             out, kl = model.apply({"params": p}, qry_x, mask=None,
                                   rngs={"bbb": step_keys[-1]})
-            qry_loss = loss_func.calc_loss(out, None, qry_y, test=test)
+            # f32 metric like every other calc_loss site (steps.py:84):
+            # under bf16 compute the degree metric's arccos/wrap otherwise
+            # quantizes at ~1 deg near 2*pi
+            qry_loss = loss_func.calc_loss(out.astype(jnp.float32), None,
+                                           qry_y, test=test)
             return qry_loss, kl
 
         losses, kls = jax.vmap(per_task)(
@@ -166,17 +170,29 @@ def build_maml_device_train_step(model, config, sampler, mesh_ctx, tx,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (state.replace(step=state.step + 1, params=params,
-                              opt_state=new_opt), loss)
+                              opt_state=new_opt), (loss, pre))
 
     def fused(state, arrays, key):
         k_sample, k_fwd = jax.random.split(key)
         batches = jax.vmap(
             lambda k: sampler.sample(k, config.tasks_per_batch, arrays)
         )(jax.random.split(k_sample, steps_per_call))
+        if mesh_ctx is not None:
+            # same constraint as steps.py build_device_data_train_step:
+            # without it GSPMD resolves the sampled batches (and the whole
+            # per-task vmap) to fully replicated compute on a multi-chip
+            # data mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh_ctx.mesh, P(None, "data"))
+            batches = jax.lax.with_sharding_constraint(
+                batches, {k: sh for k in batches})
         keys = jax.random.split(k_fwd, steps_per_call)
-        state, losses = jax.lax.scan(one_step, state, (batches, keys))
-        return state, {"loss": jnp.mean(losses), "task_loss": losses[-1],
-                       "kl": 0.0, "contra": 0.0}
+        state, (losses, pres) = jax.lax.scan(one_step, state, (batches, keys))
+        # same metric labels as the host path: task_loss = pre-kl query
+        # loss, kl = the beta-weighted remainder (both from the last step)
+        return state, {"loss": jnp.mean(losses), "task_loss": pres[-1],
+                       "kl": losses[-1] - pres[-1], "contra": 0.0}
 
     if mesh_ctx is None:
         jitted = jax.jit(fused, donate_argnums=(0,) if config.donate else ())
@@ -219,18 +235,25 @@ class MAMLTrainer(ModelTrainer):
 
     def _build_steps(self, tx):
         model, config, mesh = self.model, self.config, self.mesh
-        train_outer = build_maml_outer(model, config,
-                                       int(config.num_steps or 5),
+        # None-checks, not falsy-or: an explicit num_updates: 0 is a real
+        # zero-adaptation ablation, not a request for the default 5
+        num_steps = 5 if config.num_steps is None else int(config.num_steps)
+        test_steps = (num_steps if config.test_num_steps is None
+                      else int(config.test_num_steps))
+        train_outer = build_maml_outer(model, config, num_steps,
                                        train=True, test=False)
-        eval_outer = build_maml_outer(model, config,
-                                      int(config.test_num_steps
-                                          or config.num_steps or 5),
+        eval_outer = build_maml_outer(model, config, test_steps,
                                       train=False, test=True)
 
         if config.device_data in ("auto", True, "true"):
             from wmfml_tpu.data.device_sampler import from_dataset
 
             self.device_sampler = from_dataset(self.data, config)
+            if (self.device_sampler is None
+                    and config.device_data != "auto"):
+                self.logger.info("device_data requested but split layout/"
+                                 "size unsupported; falling back to host "
+                                 "streaming")
         if self.device_sampler is not None:
             self.train_step = build_maml_device_train_step(
                 model, config, self.device_sampler, mesh, tx,

@@ -57,7 +57,7 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
     remat_mode = str(getattr(config, "maml_remat", "none") or "none")
     # see build_maml_outer: unroll for train, scan for eval
     unroll = (int(getattr(config, "maml_unroll", 0) or 0)
-              or (num_steps if train else 1))
+              or (max(num_steps, 1) if train else 1))  # scan needs unroll>=1
 
     def outer(params, batch, key):
         pbatch = process(key, batch)
@@ -87,7 +87,9 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
                                       length=num_steps, unroll=unroll)
             preds = bundle.gated.apply({"params": adapted}, qry_x,
                                        embeddings=embeddings, mask=None)
-            return loss_func.calc_loss(preds, None, qry_y, test=test)
+            # f32 metric like every other calc_loss site (steps.py:84)
+            return loss_func.calc_loss(preds.astype(jnp.float32), None,
+                                       qry_y, test=test)
 
         losses = jax.vmap(per_task)(
             pbatch["ctx_x"], pbatch["ctx_y"], pbatch["qry_x"],
@@ -98,7 +100,14 @@ def build_mmaml_outer(bundle: MMAMLBundle, config, num_steps: int,
 
 
 def build_mmaml_optimizer(config):
-    """Two Adams with per-network global-norm clipping, as one transform."""
+    """Two Adams with per-network global-norm clipping, as one transform.
+
+    flatten is gated on the flag ALONE here (no model-axis guard, unlike
+    build_optimizer): MMAML state is always jitted fully replicated — its
+    steps never take state_shardings — so a flattened opt_state can't
+    conflict with TP placements, and tying the layout to mesh_shape would
+    gratuitously break opt_state restore across mesh changes.
+    """
     adam = optax.adam(config.lr)
     if getattr(config, "flatten_opt", True):
         adam = optax.flatten(adam)  # one fused vector update per network
@@ -127,6 +136,14 @@ def build_mmaml_device_train_step(bundle, config, sampler, mesh_ctx, tx,
         batches = jax.vmap(
             lambda k: sampler.sample(k, config.tasks_per_batch, arrays)
         )(jax.random.split(k_sample, steps_per_call))
+        if mesh_ctx is not None:
+            # force task-axis sharding over "data" (see steps.py and
+            # maml.py: without the constraint GSPMD replicates the compute)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh_ctx.mesh, P(None, "data"))
+            batches = jax.lax.with_sharding_constraint(
+                batches, {k: sh for k in batches})
         keys = jax.random.split(k_fwd, steps_per_call)
         state, losses = jax.lax.scan(one_step, state, (batches, keys))
         return state, {"loss": jnp.mean(losses), "task_loss": losses[-1],
@@ -175,25 +192,31 @@ class MMAMLTrainer(ModelTrainer):
 
         return init(key)
 
+    def _build_optimizer(self):
+        # the base TrainState is created directly with the multi_transform
+        # pair — no throwaway Adam state / second jitted tx.init
+        return build_mmaml_optimizer(self.config)
+
     def _build_steps(self, tx):
         config, mesh = self.config, self.mesh
-        tx = build_mmaml_optimizer(config)
-        # rebuild opt_state for the multi-transform optimizer (jitted: see
-        # TrainState.create)
-        self.state = self.state.replace(
-            opt_state=jax.jit(tx.init)(self.state.params))
-        train_outer = build_mmaml_outer(self.bundle, config,
-                                        int(config.num_steps or 5),
+        # None-checks, not falsy-or: num_updates: 0 is a real ablation
+        num_steps = 5 if config.num_steps is None else int(config.num_steps)
+        test_steps = (num_steps if config.test_num_steps is None
+                      else int(config.test_num_steps))
+        train_outer = build_mmaml_outer(self.bundle, config, num_steps,
                                         train=True, test=False)
-        eval_outer = build_mmaml_outer(self.bundle, config,
-                                       int(config.test_num_steps
-                                           or config.num_steps or 5),
+        eval_outer = build_mmaml_outer(self.bundle, config, test_steps,
                                        train=False, test=True)
 
         if config.device_data in ("auto", True, "true"):
             from wmfml_tpu.data.device_sampler import from_dataset
 
             self.device_sampler = from_dataset(self.data, config)
+            if (self.device_sampler is None
+                    and config.device_data != "auto"):
+                self.logger.info("device_data requested but split layout/"
+                                 "size unsupported; falling back to host "
+                                 "streaming")
         if self.device_sampler is not None:
             self.train_step = build_mmaml_device_train_step(
                 self.bundle, config, self.device_sampler, mesh, tx,

@@ -56,15 +56,24 @@ def build_optimizer(config) -> optax.GradientTransformation:
         base = optax.adamw(lr, weight_decay=float(wd) if wd else 1e-2)
     else:
         raise NameError(f"optimizer {config.optimizer!r} not supported")
+    if flatten_enabled(config):
+        base = optax.flatten(base)
+    return base
+
+
+def flatten_enabled(config) -> bool:
+    """Whether optax.flatten wraps the optimizer for this config.
+
+    A flattened opt_state is ONE concatenated vector — it cannot follow
+    per-parameter tensor-parallel shardings, so per-leaf state is kept
+    whenever a model axis is active (dryrun: 79 model-sharded leaves vs
+    27). Shared by build_optimizer and build_mmaml_optimizer so both
+    honor the same guard.
+    """
     model_parallel = bool(config.mesh_shape) and any(
         axis != "data" and int(size) > 1
         for axis, size in dict(config.mesh_shape or {}).items())
-    # a flattened opt_state is ONE concatenated vector — it cannot follow
-    # per-parameter tensor-parallel shardings, so keep per-leaf state when
-    # a model axis is active (dryrun: 79 model-sharded leaves vs 27)
-    if getattr(config, "flatten_opt", True) and not model_parallel:
-        base = optax.flatten(base)
-    return base
+    return bool(getattr(config, "flatten_opt", True)) and not model_parallel
 
 
 def param_count(params) -> int:

@@ -89,7 +89,7 @@ class ModelTrainer:
         self.steps_per_call = max(
             int(getattr(config, "steps_per_call", 1) or 1), 1)
         self.device_sampler = None  # set by _build_steps when enabled
-        tx = build_optimizer(config)
+        tx = self._build_optimizer()
         key = jax.random.PRNGKey(config.seed)
         self.base_key = key
         variables = self._init_variables(key)
@@ -112,6 +112,11 @@ class ModelTrainer:
                                  f"at step {int(self.state.step)}")
 
     # -- overridable by MAML/MMAML subclasses ---------------------------
+
+    def _build_optimizer(self):
+        """Optimizer used for the initial TrainState (MMAML overrides with
+        its multi_transform pair, avoiding a second jitted tx.init)."""
+        return build_optimizer(self.config)
 
     def _init_variables(self, key):
         return init_model(self.model, self.config, key)
