@@ -85,3 +85,32 @@ def test_fixed_step_size_unchanged_by_default():
     loss_learn, _ = outer2(params, _episode(cfg), jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(loss_default), float(loss_learn),
                                rtol=1e-6)
+
+
+def test_zero_inner_steps_is_a_real_ablation():
+    """num_updates: 0 must run zero adaptation steps (falsy-or coercion
+    used to silently substitute the default 5 — round-3 review fix): the
+    outer loss then equals the unadapted forward's query loss, and the
+    outer grad still flows."""
+    cfg = make_cfg(method="MAMLShapeNet1D", task="shapenet_1d",
+                   agg_mode=None, dim_w=36, num_filters=8, num_updates=0,
+                   test_num_updates=0, first_order=False, update_lr=0.01,
+                   beta=0.0, tasks_per_batch=2, max_ctx_num=3, query_num=2)
+    model = build_model(cfg)
+    params = _init(model, cfg, jax.random.PRNGKey(0))
+    batch = _episode(cfg)
+    key = jax.random.PRNGKey(3)
+
+    outer0 = build_maml_outer(model, cfg, 0, train=True, test=False)
+    loss0, _ = outer0(params, batch, key)
+
+    # reference point: forward with the UNADAPTED params on the query set
+    outer2 = build_maml_outer(model, cfg, 2, train=True, test=False)
+    loss2, _ = outer2(params, batch, key)
+    assert not np.allclose(float(loss0), float(loss2)), \
+        "0 and 2 inner steps gave identical losses — adaptation is dead"
+
+    grads, _ = jax.grad(lambda p: outer0(p, batch, key), has_aux=True)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(float(loss0)) and gnorm > 0.0
