@@ -65,3 +65,36 @@ def test_adapted_device_validate_matches_host(tmp_path, method):
     host = _host_losses(trainer, cfg)
     np.testing.assert_allclose(np.asarray(dev), np.asarray(host),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["MAMLShapeNet1D", "MMAMLShapeNet1D"])
+def test_fused_device_train_step_runs_on_mesh(tmp_path, method):
+    """One fused device train dispatch executes on the 8-virtual-device
+    data mesh (covers the with_sharding_constraint on the sampled batches
+    and the metric labels of the device path — round-3 review fixes)."""
+    import jax
+
+    cfg = make_cfg(method=method, task="shapenet_1d", agg_mode=None,
+                   aug_list=[], iterations=2, val_freq=10, val_iters=1,
+                   data_size="small", tasks_per_batch=8, max_ctx_num=5,
+                   query_num=4, dim_w=36, num_filters=8, num_updates=2,
+                   test_num_updates=2, first_order=False, update_lr=0.01,
+                   beta=0.0, steps_per_call=2)
+    cfg.results_root = str(tmp_path)
+    cfg.save_path = str(tmp_path / f"train_{method}")
+    cfg.create_dirs()
+    data = _data(cfg)
+    if method == "MMAMLShapeNet1D":
+        from wmfml_tpu.train.mmaml import MMAMLTrainer as Trainer
+    else:
+        from wmfml_tpu.train.maml import MAMLTrainer as Trainer
+    trainer = Trainer(build_model(cfg), cfg, data)
+    assert trainer.device_sampler is not None
+    assert trainer.mesh.mesh.devices.size > 1, "expected multi-device mesh"
+
+    step0 = int(trainer.state.step)  # before the call: the step donates
+    state1, metrics = trainer.train_step(trainer.state, jax.random.PRNGKey(5))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    assert int(state1.step) == step0 + cfg.steps_per_call
+    assert np.isfinite(float(metrics["task_loss"]))
