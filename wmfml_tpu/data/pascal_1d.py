@@ -75,10 +75,10 @@ class Pascal1D(BaseData):
         ctx_y = np.empty((tasks_per_batch, shot, 1), np.float32)
         qry_y = np.empty((tasks_per_batch, query, 1), np.float32)
         for t, k in enumerate(cls_idx):
-            idx = rng.choice(n_inst, size=shot + query, replace=False)
-            ctx_x[t] = x[k, idx[:shot]]
-            qry_x[t] = x[k, idx[shot:]]
-            ctx_y[t] = y[k, idx[:shot]]
-            qry_y[t] = y[k, idx[shot:]]
+            ci, qi = self._split_support_query(rng, n_inst, shot, query)
+            ctx_x[t] = x[k, ci]
+            qry_x[t] = x[k, qi]
+            ctx_y[t] = y[k, ci]
+            qry_y[t] = y[k, qi]
         return make_episode(ctx_x, ctx_y, qry_x, qry_y,
                             max_ctx=self.max_ctx, shot=shot)

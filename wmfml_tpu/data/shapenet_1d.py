@@ -40,6 +40,10 @@ class ShapeNet1D(BaseData):
         super().__init__(img_size, aug)
         self.num_classes = 1
         self.data_size = data_size
+        if max_ctx < 3:
+            raise ValueError(
+                f"shapenet_1d needs max_ctx_num >= 3 (train shot ~ U[3, "
+                f"max], dataset/shapenet_1d.py:141-148); got {max_ctx}")
         self.max_ctx = max_ctx
         self.query_num = query_num or max_ctx
 
@@ -105,11 +109,11 @@ class ShapeNet1D(BaseData):
         ctx_y = np.empty((tasks_per_batch, shot, 1), np.float32)
         qry_y = np.empty((tasks_per_batch, query, 1), np.float32)
         for t, k in enumerate(cls_idx):
-            idx = rng.choice(n_inst, size=shot + query, replace=False)
-            ctx_x[t] = x[k, idx[:shot]]
-            qry_x[t] = x[k, idx[shot:]]
-            ctx_y[t] = y[k, idx[:shot]]
-            qry_y[t] = y[k, idx[shot:]]
+            ci, qi = self._split_support_query(rng, n_inst, shot, query)
+            ctx_x[t] = x[k, ci]
+            qry_x[t] = x[k, qi]
+            ctx_y[t] = y[k, ci]
+            qry_y[t] = y[k, qi]
 
         ctx_y = ctx_y * (2.0 * np.pi)
         qry_y = qry_y * (2.0 * np.pi)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -56,8 +57,13 @@ class ShapeNet3DData(BaseData):
         self.bg_imgs = np.load(bg_path).astype(np.float32)
 
         self.splits = {}
-        for split, name in [("train", "train"), ("validation", "val"),
-                            ("test", "test")]:
+        # eval runs never touch the train split (the largest pickle by
+        # far) — don't unpickle + argsort-copy + pin it for nothing
+        split_names = ([("validation", "val"), ("test", "test")]
+                       if mode == "eval"
+                       else [("train", "train"), ("validation", "val"),
+                             ("test", "test")])
+        for split, name in split_names:
             with open(os.path.join(path, f"shapenet3d_azi180ele30_{name}.pkl"),
                       "rb") as f:
                 d = pickle.load(f)
@@ -80,6 +86,15 @@ class ShapeNet3DData(BaseData):
         self.train_rng = np.random.RandomState(seed)
         self.val_rng = np.random.RandomState(seed)
         self.test_rng = np.random.RandomState(seed)
+        # backgrounds draw from their OWN stream: gen_bg used to consume
+        # train_rng, perturbing the episode stream at bg_gen_freq points
+        # and racing the prefetcher thread's get_batch on the same
+        # (non-thread-safe) RandomState
+        self.bg_rng = np.random.RandomState(seed + 7919)
+        # gen_bg rewrites split images in place while the prefetcher reads
+        # them — serialize the two (host-streaming path only; the device
+        # sampler composites per batch on device)
+        self._bg_lock = threading.Lock()
         self.counters = {"validation": 0, "test": 0}
         self.perms = {
             "validation": self.val_rng.permutation(self.splits["validation"]["n_items"]),
@@ -128,31 +143,20 @@ class ShapeNet3DData(BaseData):
     def get_batch(self, source: str, tasks_per_batch: int,
                   shot: int) -> EpisodeBatch:
         split = self.splits[source]
-        rng = self._rng(source)
-        if source == "train":
-            shot = int(rng.randint(1, shot + 1))
+        # the SAME draw as get_batch_indices — the host/device eval parity
+        # invariant needs both paths to consume the RNG in lockstep
+        items, perm, shot = self._draw(source, tasks_per_batch, shot)
         query = self.query_num
-        v = self.instances_per_item
-
-        items = np.empty(tasks_per_batch, np.int64)
-        perm = np.empty((tasks_per_batch, v), np.int64)
-        for t in range(tasks_per_batch):
-            if source == "train":
-                items[t] = rng.randint(split["n_items"])
-            else:
-                if self.counters[source] >= split["n_items"]:
-                    self.counters[source] = 0
-                items[t] = self.perms[source][self.counters[source]]
-                self.counters[source] += 1
-            perm[t] = rng.permutation(v)
 
         from wmfml_tpu._native.bindings import assemble_episode
 
         # native multithreaded gather of the image rows (hot host path);
-        # labels are tiny — numpy indexing
+        # labels are tiny — numpy indexing. Lock out gen_bg's in-place
+        # recompositing while we read.
         off = -1 if self.mode == "eval" else 0
-        ctx_x, qry_x = assemble_episode(split["images"], items, perm,
-                                        shot, query, query_offset=off)
+        with self._bg_lock:
+            ctx_x, qry_x = assemble_episode(split["images"], items, perm,
+                                            shot, query, query_offset=off)
         quats = split["Q"][items[:, None], perm]       # [T, V, 4]
         ctx_y = quats[:, :shot]
         qry_y = quats if self.mode == "eval" else quats[:, shot:shot + query]
@@ -168,14 +172,18 @@ class ShapeNet3DData(BaseData):
         imgs = s["images"]
         flat = imgs.reshape(-1, *imgs.shape[2:])
         bg_idx = rng.randint(0, self.bg_imgs.shape[0], size=flat.shape[0])
-        composite_backgrounds(flat, self.bg_imgs, bg_idx)
+        with self._bg_lock:   # vs the prefetcher thread's get_batch read
+            composite_backgrounds(flat, self.bg_imgs, bg_idx)
 
     def generate_and_save_data(self, out_path: str):
         """One-off builder: composite random backgrounds into every split and
         dump the reference pickle layout (dataset/shapenet_3d.py:269-283 —
         there it writes a hard-coded ./data path; here the destination is an
         argument)."""
-        rng = self.train_rng
+        if "train" not in self.splits:
+            raise RuntimeError("generate_and_save_data needs mode='train' "
+                               "(eval mode skips loading the train split)")
+        rng = self.bg_rng
         os.makedirs(out_path, exist_ok=True)
         for split, name in [("train", "train"), ("validation", "val"),
                             ("test", "test")]:
@@ -192,10 +200,10 @@ class ShapeNet3DData(BaseData):
                              "Q": q}, f)
 
     def gen_bg(self, config, data: str = "all"):
-        rng = self.train_rng
+        rng = self.bg_rng   # own stream: never perturbs the episode RNGs
         if data == "all":
             config.logger.info("=========== Generate BG for all data ============")
-            for split in ("train", "validation", "test"):
+            for split in self.splits:
                 self._composite_split(split, rng)
         elif data == "train":
             config.logger.info("====== Regenerate BG for Training Data ======")

@@ -86,6 +86,11 @@ class ShapeNetDistractor(BaseData):
         images = np.zeros((n_items, v, *self.img_size), np.uint8)
         centers = np.zeros((n_items, v, 2), np.float32)
         for i, item in enumerate(data):
+            if len(item) != v:   # loud, like shapenet_3d's view check —
+                # silent zero-fill would feed black (0,0)-labeled images
+                raise ValueError(
+                    f"distractor item {i}: expected {v} instances, got "
+                    f"{len(item)} — non-uniform view counts are unsupported")
             for m, inst in enumerate(item):
                 img = np.asarray(inst[0], np.float32).reshape(self.img_size)
                 images[i, m] = (img * 255).astype(np.uint8)
@@ -105,39 +110,15 @@ class ShapeNetDistractor(BaseData):
         return {"train": self.train_rng, "validation": self.val_rng,
                 "test": self.test_rng}[source]
 
-    def get_batch_indices(self, source: str, tasks_per_batch: int, shot: int):
-        """Index-only episode draw (device-resident gathering); same RNG
-        stream as get_batch."""
+    def _draw(self, source: str, tasks_per_batch: int, shot: int):
+        """The one RNG-consuming draw, shared by get_batch and
+        get_batch_indices — host/device eval parity requires both paths to
+        consume the stream in lockstep."""
         split = self.splits[source]
         rng = self._rng(source)
         if source == "train":
             shot = int(rng.randint(1, shot + 1))
         v = self.instances_per_item
-        if source == "test":
-            perm_items = rng.permutation(split["n_items"])
-            self.counters["test"] = 0
-        items = np.empty(tasks_per_batch, np.int64)
-        perm = np.empty((tasks_per_batch, v), np.int64)
-        for t in range(tasks_per_batch):
-            if source == "test":
-                if self.counters["test"] >= split["n_items"]:
-                    self.counters["test"] = 0
-                items[t] = perm_items[self.counters["test"]]
-                self.counters["test"] += 1
-            else:
-                items[t] = rng.randint(split["n_items"])
-            perm[t] = rng.permutation(v)
-        return items, perm[:, :shot + self.query_num], shot
-
-    def get_batch(self, source: str, tasks_per_batch: int,
-                  shot: int) -> EpisodeBatch:
-        split = self.splits[source]
-        rng = self._rng(source)
-        if source == "train":
-            shot = int(rng.randint(1, shot + 1))
-        query = self.query_num
-        v = self.instances_per_item
-
         if source == "test":
             # reference quirk: re-permute and reset every call (:203-207)
             perm_items = rng.permutation(split["n_items"])
@@ -153,6 +134,19 @@ class ShapeNetDistractor(BaseData):
             else:
                 items[t] = rng.randint(split["n_items"])
             perm[t] = rng.permutation(v)
+        return items, perm, shot
+
+    def get_batch_indices(self, source: str, tasks_per_batch: int, shot: int):
+        """Index-only episode draw (device-resident gathering); same RNG
+        stream as get_batch."""
+        items, perm, shot = self._draw(source, tasks_per_batch, shot)
+        return items, perm[:, :shot + self.query_num], shot
+
+    def get_batch(self, source: str, tasks_per_batch: int,
+                  shot: int) -> EpisodeBatch:
+        split = self.splits[source]
+        items, perm, shot = self._draw(source, tasks_per_batch, shot)
+        query = self.query_num
 
         from wmfml_tpu._native.bindings import assemble_episode
 

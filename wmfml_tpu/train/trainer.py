@@ -275,6 +275,12 @@ class ModelTrainer:
             groups, take, shot = self.data.get_batch_indices(
                 source, cfg.tasks_per_batch, s)
             assert shot == s, "eval shot must be the requested ctx count"
+            # loud, not silently-clamped: in mode='eval' datasets the index
+            # table is only v views wide and numpy would truncate the slice
+            assert take.shape[1] >= s + cfg.query_num, (
+                f"index table too narrow ({take.shape[1]} < "
+                f"{s + cfg.query_num}) — mode='eval' datasets must go "
+                "through the evaluator's query_all sweep, not the trainer")
             cls.append(groups)
             ctx_i.append(take[:, :s])
             qry_i.append(take[:, s:s + cfg.query_num])
