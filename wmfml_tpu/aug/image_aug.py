@@ -35,7 +35,12 @@ Remaining (documented) approximations, RNG-stream-level only:
   * the reference round-trips through uint8 around the pipeline
     ((x*255).astype(uint8) / 255, `utils/augment.py:67-71`) — we stay in
     float (no quantization);
-  * AddToBrightness adds in HSV-V space for RGB inputs; we add per channel;
+  * CropAndPad(keep_size=True)'s resize-back uses cubic interpolation in
+    imgaug; our closed-form warp is bilinear (the crop/pad itself is exact
+    either way — only the resample filter differs);
+  * AddToBrightness offsets HSV-V in closed form; imgaug samples the
+    brightness colorspace per image from {YCrCb, HSV, HSL, Lab, Luv, YUV}
+    (HSV is one draw of six; the others are near-identical V-like offsets);
   * exact per-draw RNG streams differ by construction (different PRNG).
 Tests assert distributional properties (tests/test_aug.py).
 """
@@ -64,6 +69,27 @@ def _interp_matrix(n: int, src: jnp.ndarray) -> jnp.ndarray:
     return (w0 * valid0)[:, None] * eye0 + (w1 * valid1)[:, None] * eye1
 
 
+def _stage_matrices(h: int, w: int, scale_xy, translate_xy, nearest=None,
+                    gate=None):
+    """Per-axis interpolation matrices (wy [H,H], wx [W,W]) of one
+    scale/translate warp; ``gate`` (traced bool) collapses the stage to
+    identity (the Sometimes(0.5) off-branch)."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    sx, sy = scale_xy
+    tx, ty = translate_xy
+    src_y = (jnp.arange(h, dtype=jnp.float32) - cy - ty) / sy + cy
+    src_x = (jnp.arange(w, dtype=jnp.float32) - cx - tx) / sx + cx
+    if nearest is not None:
+        src_y = jnp.where(nearest, jnp.floor(src_y + 0.5), src_y)
+        src_x = jnp.where(nearest, jnp.floor(src_x + 0.5), src_x)
+    wy = _interp_matrix(h, src_y)                      # [H, H]
+    wx = _interp_matrix(w, src_x)                      # [W, W]
+    if gate is not None:
+        wy = jnp.where(gate, wy, jnp.eye(h, dtype=jnp.float32))
+        wx = jnp.where(gate, wx, jnp.eye(w, dtype=jnp.float32))
+    return wy, wx
+
+
 def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval,
                  nearest=None) -> jnp.ndarray:
     """Bilinear (or nearest) affine warp about the image center w/ constant
@@ -80,21 +106,68 @@ def _affine_warp(img: jnp.ndarray, scale_xy, translate_xy, cval,
     interpolation matrices' missing mass (exactly per-tap cval semantics).
     """
     h, w, _ = img.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    sx, sy = scale_xy
-    tx, ty = translate_xy
-    src_y = (jnp.arange(h, dtype=jnp.float32) - cy - ty) / sy + cy
-    src_x = (jnp.arange(w, dtype=jnp.float32) - cx - tx) / sx + cx
-    if nearest is not None:
-        src_y = jnp.where(nearest, jnp.floor(src_y + 0.5), src_y)
-        src_x = jnp.where(nearest, jnp.floor(src_x + 0.5), src_x)
-
-    wy = _interp_matrix(h, src_y)                      # [H, H]
-    wx = _interp_matrix(w, src_x)                      # [W, W]
+    wy, wx = _stage_matrices(h, w, scale_xy, translate_xy, nearest)
     out = jnp.einsum("ih,hwc,jw->ijc", wy, img.astype(jnp.float32), wx,
                      preferred_element_type=jnp.float32)
     coverage = (jnp.sum(wy, axis=1)[:, None] * jnp.sum(wx, axis=1)[None, :])
     return (out + cval * (1.0 - coverage)[:, :, None]).astype(img.dtype)
+
+
+def _warp_chain(img: jnp.ndarray, stages) -> jnp.ndarray:
+    """Sequential scale/translate warps applied in ONE image mix — exact.
+
+    ``stages`` is a list of dicts {scale, translate, cval, nearest?, gate?}
+    applied first-to-last. Per-axis interpolation matrices compose by
+    matmul ((W2 @ W1) img == W2 (W1 img) up to fp association), and each
+    stage's constant-fill field cval·(1⊗1 − ry⊗rx) stays a sum of per-axis
+    outer products under later stages (W2y a ⊗ W2x b), so the composed
+    result equals running _affine_warp stage-by-stage to fp-association
+    precision — same double-resample math, half the image-mixing passes
+    (the reference pays a full resample per op: utils/augment.py:34-63).
+    """
+    h, w, _ = img.shape
+    My = Mx = None
+    terms = []  # rank-1 fill contributions: (coeff, a [H], b [W])
+    for st in stages:
+        wy, wx = _stage_matrices(h, w, st["scale"], st["translate"],
+                                 st.get("nearest"), st.get("gate"))
+        ry, rx = jnp.sum(wy, axis=1), jnp.sum(wx, axis=1)
+        terms = [(c, wy @ a, wx @ b) for (c, a, b) in terms]
+        cval = st["cval"]
+        terms.append((cval, jnp.ones(h, jnp.float32),
+                      jnp.ones(w, jnp.float32)))
+        terms.append((-cval, ry, rx))
+        My = wy if My is None else wy @ My
+        Mx = wx if Mx is None else wx @ Mx
+    out = jnp.einsum("ih,hwc,jw->ijc", My, img.astype(jnp.float32), Mx,
+                     preferred_element_type=jnp.float32)
+    fill = jnp.zeros((h, w), jnp.float32)
+    for c, a, b in terms:
+        fill = fill + c * (a[:, None] * b[None, :])
+    return (out + fill[:, :, None]).astype(img.dtype)
+
+
+def _sample_crop_params(key, h, w, lo=0.0, hi=0.05):
+    """Parameter draw shared by crop_and_pad and its composable stage form."""
+    kp, kc = jax.random.split(key)
+    p = jax.random.uniform(kp, (4,), minval=lo, maxval=hi)
+    pt, pr, pb, pl = p[0], p[1], p[2], p[3]
+    sx = 1.0 / (1.0 + pl + pr)
+    sy = 1.0 / (1.0 + pt + pb)
+    tx = sx * w * (pl - pr) / 2.0
+    ty = sy * h * (pt - pb) / 2.0
+    cval = jax.random.uniform(kc, ())
+    return (sx, sy), (tx, ty), cval, None
+
+
+def _sample_affine_params(key, h, w, scale=(0.8, 1.2), translate=0.1):
+    ks, kt, kc, ko = jax.random.split(key, 4)
+    sxy = jax.random.uniform(ks, (2,), minval=scale[0], maxval=scale[1])
+    txy = jax.random.uniform(kt, (2,), minval=-translate, maxval=translate)
+    txy = txy * jnp.array([w, h], jnp.float32)
+    cval = jax.random.uniform(kc, ())
+    nearest = jax.random.bernoulli(ko, 0.5)  # iaa order=[0, 1]
+    return (sxy[0], sxy[1]), (txy[0], txy[1]), cval, nearest
 
 
 def crop_and_pad(key, img, lo=0.0, hi=0.05):
@@ -105,28 +178,30 @@ def crop_and_pad(key, img, lo=0.0, hi=0.05):
     the original size — which is exactly an affine with per-axis scale
     1/(1+p_left+p_right) and translate moving content toward the
     more-padded side."""
-    kp, kc = jax.random.split(key)
-    p = jax.random.uniform(kp, (4,), minval=lo, maxval=hi)
-    pt, pr, pb, pl = p[0], p[1], p[2], p[3]
     h, w, _ = img.shape
-    sx = 1.0 / (1.0 + pl + pr)
-    sy = 1.0 / (1.0 + pt + pb)
-    tx = sx * w * (pl - pr) / 2.0
-    ty = sy * h * (pt - pb) / 2.0
-    cval = jax.random.uniform(kc, ())
-    return _affine_warp(img, (sx, sy), (tx, ty), cval)
+    s, t, cval, _ = _sample_crop_params(key, h, w, lo, hi)
+    return _affine_warp(img, s, t, cval)
 
 
 def affine(key, img, scale=(0.8, 1.2), translate=0.1):
-    ks, kt, kc, ko = jax.random.split(key, 4)
-    sxy = jax.random.uniform(ks, (2,), minval=scale[0], maxval=scale[1])
     h, w, _ = img.shape
-    txy = jax.random.uniform(kt, (2,), minval=-translate, maxval=translate)
-    txy = txy * jnp.array([w, h], jnp.float32)
-    cval = jax.random.uniform(kc, ())
-    nearest = jax.random.bernoulli(ko, 0.5)  # iaa order=[0, 1]
-    return _affine_warp(img, (sxy[0], sxy[1]), (txy[0], txy[1]), cval,
-                        nearest=nearest)
+    s, t, cval, nearest = _sample_affine_params(key, h, w, scale, translate)
+    return _affine_warp(img, s, t, cval, nearest=nearest)
+
+
+def _crop_stage(key, h, w, p_gate=0.5):
+    """crop_and_pad + its Sometimes(0.5) gate as a composable warp stage."""
+    kg, ko = jax.random.split(key)
+    s, t, cval, nearest = _sample_crop_params(ko, h, w)
+    return dict(scale=s, translate=t, cval=cval, nearest=nearest,
+                gate=jax.random.bernoulli(kg, p_gate))
+
+
+def _affine_stage(key, h, w, p_gate=0.5):
+    kg, ko = jax.random.split(key)
+    s, t, cval, nearest = _sample_affine_params(ko, h, w)
+    return dict(scale=s, translate=t, cval=cval, nearest=nearest,
+                gate=jax.random.bernoulli(kg, p_gate))
 
 
 def gamma_contrast(key, img, lo=0.5, hi=2.0):
@@ -135,8 +210,25 @@ def gamma_contrast(key, img, lo=0.5, hi=2.0):
 
 
 def brightness(key, img, amount=30.0 / 255.0):
+    """iaa.AddToBrightness(-30..30): offset the brightness channel.
+
+    imgaug converts to a brightness-carrying colorspace, adds, and converts
+    back. For RGB we use the HSV closed form: V = max(R, G, B); offsetting
+    V with H, S fixed scales all channels by clip(V + b) / V (an S=0 pixel
+    degenerates to the gray clip(V + b), which the scaling form also
+    yields). Grayscale is the V channel itself, so the offset is a plain
+    add — identical to the RGB formula at R=G=B. Residual deviation
+    (documented in the module docstring): imgaug samples the colorspace
+    per image from {YCrCb, HSV, HSL, Lab, Luv, YUV}; we always use HSV."""
     b = jax.random.uniform(key, (), minval=-amount, maxval=amount)
-    return jnp.clip(img + b, 0.0, 1.0)
+    if img.shape[-1] == 1:
+        return jnp.clip(img + b, 0.0, 1.0)
+    v = jnp.max(img, axis=-1, keepdims=True)
+    scale = jnp.where(v > 1e-6, jnp.clip(v + b, 0.0, 1.0) / jnp.maximum(v, 1e-6),
+                      0.0)
+    # V==0 (pure black): S is 0 by convention, HSV->RGB gives the gray V'
+    return jnp.where(v > 1e-6, img * scale,
+                     jnp.clip(jnp.zeros_like(img) + jnp.maximum(b, 0.0), 0.0, 1.0))
 
 
 def average_blur(key, img):
@@ -315,6 +407,16 @@ FUSED_PIPELINES = {
     "distractor": [_AFFINE, _DROP_FIXED],
 }
 
+# warp ops whose (op + Sometimes gate) has an exact composable stage form —
+# adjacent runs of these in a sampled order collapse into one _warp_chain
+# mix (same double-resample math; see _warp_chain)
+_STAGE_SAMPLERS = {_CROP: _crop_stage, _AFFINE: _affine_stage}
+
+# permutation-enumeration cutoff for the exact random-order path: n! fused
+# branches compile per augmenter, so cap at 3! = 6 (covers shapenet_1d and
+# distractor — the 128x128 pipelines where the warp passes dominate)
+_ENUM_MAX = 3
+
 
 def build_augmenter(task: str, p: float = 0.5,
                     random_order: bool = True,
@@ -324,10 +426,12 @@ def build_augmenter(task: str, p: float = 0.5,
     ``random_order=True`` (default, exact reference semantics): the op
     order is drawn per call — imgaug's Sequential(random_order=True)
     resamples the order per batch, and the reference augments each batch
-    with one ``generate()`` call (`dataset/shapenet_1d.py:174-176`). The
-    order index is a SCALAR, so each lax.switch step executes exactly one
-    op body at runtime. ``random_order=False`` selects the fused
-    fixed-order perf pipelines.
+    with one ``generate()`` call (`dataset/shapenet_1d.py:174-176`).
+    Pipelines with <= _ENUM_MAX ops compile one fused branch per
+    permutation behind a single scalar lax.switch (adjacent warp ops
+    composed exactly — see _warp_chain); longer pipelines run the per-step
+    scalar-switch chain, one op body per step. ``random_order=False``
+    selects the fused fixed-order perf pipelines.
     """
     del p  # gates live inside the ops
     if ops is None:
@@ -341,8 +445,6 @@ def build_augmenter(task: str, p: float = 0.5,
 
         return run
 
-    branches = [batch_op(op) for op in ops]
-
     def chain_one(key, img):
         # fixed order: ONE vmap over the whole chain (a single per-image
         # key split; the per-step vmap form measured ~1.9 ms/step slower)
@@ -350,6 +452,65 @@ def build_augmenter(task: str, p: float = 0.5,
         for k, op in zip(keys, ops):
             img = op(k, img)
         return img
+
+    def perm_chain(perm):
+        """Fully-fused chain for one fixed op order: maximal runs of
+        composable warp ops collapse into ONE _warp_chain mix (exact, see
+        _warp_chain); everything else applies in place. Per-image:
+        step_keys [n, 2] indexed by chain POSITION (the per-step key
+        assignment of the switch-chain form)."""
+        def chain(step_keys, img):
+            h, w = img.shape[:2]
+            i = 0
+            while i < n:
+                run = []
+                while (i + len(run) < n
+                       and ops[perm[i + len(run)]] in _STAGE_SAMPLERS):
+                    run.append(perm[i + len(run)])
+                if len(run) >= 2:
+                    stages = [
+                        _STAGE_SAMPLERS[ops[run_op]](step_keys[i + t], h, w)
+                        for t, run_op in enumerate(run)]
+                    img = _warp_chain(img, stages)
+                    i += len(run)
+                else:
+                    img = ops[perm[i]](step_keys[i], img)
+                    i += 1
+            return img
+
+        return chain
+
+    if random_order and n <= _ENUM_MAX:
+        # exact random-order via ONE batch-level switch over all n!
+        # orders, each branch a fully-fused vmapped chain — instead of n
+        # sequential batch-wide switch steps (n batch materializations, no
+        # cross-op fusion). Order distribution is identical: uniform over
+        # the n! permutations, shared across the batch.
+        import itertools
+        import math
+
+        perms = list(itertools.permutations(range(n)))
+        chains = [perm_chain(perm) for perm in perms]
+        n_perms = math.factorial(n)
+
+        def augment(key, images):
+            batch_shape = images.shape[:-3]
+            flat = images.reshape((-1,) + images.shape[-3:])
+            kperm, kops = jax.random.split(key)
+            idx = jax.random.randint(kperm, (), 0, n_perms)
+            step_keys = jax.random.split(kops, n)             # [n, 2]
+            img_keys = jax.vmap(
+                lambda k: jax.random.split(k, flat.shape[0]))(step_keys)
+            img_keys = jnp.swapaxes(img_keys, 0, 1)           # [B, n, 2]
+            branches = [
+                (lambda ch: lambda ks, im: jax.vmap(ch)(ks, im))(ch)
+                for ch in chains]
+            flat = jax.lax.switch(idx, branches, img_keys, flat)
+            return flat.reshape(batch_shape + flat.shape[-3:])
+
+        return augment
+
+    branches = [batch_op(op) for op in ops]
 
     def augment(key, images):
         batch_shape = images.shape[:-3]

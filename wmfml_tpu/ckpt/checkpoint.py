@@ -79,19 +79,25 @@ class CheckpointManager:
         try:
             restored = self._ckpt.restore(path, target)
         except Exception as e:
-            # the most common structure mismatch: the checkpoint was saved
-            # with a different optimizer layout than the current config
-            # builds (optax.flatten wraps the opt_state in one concatenated
-            # vector; config key `flatten_opt`, default true)
-            raise RuntimeError(
-                f"checkpoint restore failed for {path!r}: {e}\n"
-                "If only the 'opt_state' subtree mismatches, the checkpoint "
-                "was probably saved with the opposite `flatten_opt` setting "
-                "(the flattened Adam landed with default true; older "
-                "checkpoints carry per-leaf state). Set `flatten_opt: "
-                "false` (or true) in the config to match the save-time "
-                "layout — the model params are unaffected either way."
-            ) from e
+            # add the flatten_opt hint ONLY when the failure actually looks
+            # like an optimizer tree-structure mismatch (optax.flatten wraps
+            # the opt_state in one concatenated vector; config key
+            # `flatten_opt`, default true) — missing dirs / corrupt files /
+            # model-architecture changes re-raise unmodified
+            msg = str(e)
+            if "opt_state" in msg and (
+                    "structure" in msg or "mismatch" in msg
+                    or "tree" in msg.lower()):
+                raise RuntimeError(
+                    f"checkpoint restore failed for {path!r}: {e}\n"
+                    "The 'opt_state' subtree mismatches: the checkpoint was "
+                    "probably saved with the opposite `flatten_opt` setting "
+                    "(the flattened Adam landed with default true; older "
+                    "checkpoints carry per-leaf state). Set `flatten_opt: "
+                    "false` (or true) in the config to match the save-time "
+                    "layout — the model params are unaffected either way."
+                ) from e
+            raise
         return state.replace(step=restored["step"], params=restored["params"],
                              extra_vars=restored["extra_vars"],
                              opt_state=restored["opt_state"])

@@ -520,6 +520,102 @@ def _config_importer_kwargs(config) -> dict:
     return {}
 
 
+# Pickle GLOBAL/STACK_GLOBAL symbols a legitimate reference checkpoint may
+# reference (tensor rebuild machinery, storages, containers, and the couple
+# of stdlib/torch types the reference MMAML combined dict drags in through
+# optimizer state_dicts: trainer/meta_learner_reg.py:218-227). Anything
+# outside this set — notably os.system / subprocess / builtins.eval style
+# gadgets — aborts the load before a single object is constructed.
+_PICKLE_GLOBAL_ALLOWLIST = {
+    ("collections", "OrderedDict"),
+    ("collections", "defaultdict"),
+    ("builtins", "dict"),
+    ("builtins", "list"),
+    ("builtins", "set"),
+    ("builtins", "int"),
+    ("builtins", "float"),
+    ("builtins", "complex"),
+    ("builtins", "bytearray"),
+    ("torch._utils", "_rebuild_tensor_v2"),
+    ("torch._utils", "_rebuild_tensor"),
+    ("torch._utils", "_rebuild_parameter"),
+    ("torch._utils", "_rebuild_device_tensor_from_numpy"),
+    ("torch.serialization", "_get_layout"),
+    ("torch", "Size"),
+    ("torch", "device"),
+    ("torch", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+} | {("torch", f"{p}Storage") for p in (
+    "Float", "Double", "Half", "BFloat16", "Long", "Int", "Short", "Char",
+    "Byte", "Bool", "Untyped", "Typed", "_Untyped", "_Typed")} \
+  | {("torch.storage", s) for s in ("TypedStorage", "UntypedStorage",
+                                    "_TypedStorage", "_UntypedStorage")}
+
+
+def _scan_pickle_globals(path: str):
+    """Return the set of (module, name) GLOBAL references inside the pickle
+    payload(s) of ``path`` WITHOUT constructing any object.
+
+    Handles both the zip-archive torch format (data.pkl entries) and legacy
+    bare-pickle files. Scanning uses pickletools.genops, which only parses
+    opcodes — no code from the file runs."""
+    import io
+    import pickletools
+    import zipfile
+
+    def scan(stream):
+        found, strstack = set(), []
+        # opcodes that neither push nor pop the pickle stack — MEMOIZE/PUT
+        # variants routinely sit between the two string pushes and the
+        # STACK_GLOBAL that consumes them (protocol 4)
+        neutral = {"MEMOIZE", "PUT", "BINPUT", "LONG_BINPUT", "FRAME",
+                   "PROTO", "STOP"}
+        for op, arg, _pos in pickletools.genops(stream):
+            if op.name == "GLOBAL":
+                mod, name = arg.split(" ", 1)
+                found.add((mod, name))
+            elif op.name in ("SHORT_BINUNICODE", "BINUNICODE",
+                             "BINUNICODE8", "UNICODE"):
+                strstack.append(arg)
+            elif op.name == "STACK_GLOBAL":
+                # consumes the two most recent string constants
+                if len(strstack) >= 2:
+                    found.add((strstack[-2], strstack[-1]))
+                    strstack = strstack[:-2]
+                else:
+                    # can't resolve the operands — conservative: flag it
+                    found.add(("<unresolved>",
+                               strstack[-1] if strstack else "<unresolved>"))
+                    strstack = []
+            elif op.name not in neutral:
+                strstack = []
+        return found
+
+    if zipfile.is_zipfile(path):
+        found = set()
+        with zipfile.ZipFile(path) as zf:
+            for info in zf.infolist():
+                if info.filename.endswith(".pkl"):
+                    with zf.open(info) as f:
+                        found |= scan(io.BytesIO(f.read()))
+        return found
+    with open(path, "rb") as f:
+        data = f.read()
+    # legacy torch format: several concatenated pickles; scan the first
+    # (the magic/metadata) is cheap, but the payload pickle streams tensors
+    # with raw storage interleaved that genops can't skip — scan what parses
+    # and treat parse failure as "unknown global present".
+    try:
+        return scan(io.BytesIO(data))
+    except Exception:
+        return {("<unparseable>", "<unparseable>")}
+
+
 def load_torch_variables(config, path: str) -> dict:
     """Load a reference .pt checkpoint into flax variables for config.method.
 
@@ -535,11 +631,26 @@ def load_torch_variables(config, path: str) -> dict:
     except Exception:
         import logging
 
+        # weights_only rejected the file (e.g. the reference MMAML combined
+        # dict). Before the full unpickle, statically verify every GLOBAL
+        # the pickle references against an allowlist of tensor/container
+        # rebuild machinery — a crafted .pt fails here with the offending
+        # symbols named, instead of executing them.
+        offending = sorted(
+            g for g in _scan_pickle_globals(path)
+            if g not in _PICKLE_GLOBAL_ALLOWLIST)
+        if offending:
+            raise RuntimeError(
+                f"refusing to unpickle {path}: weights_only torch.load "
+                f"failed and the pickle references symbols outside the "
+                f"tensor-checkpoint allowlist: {offending}. If you trust "
+                f"this file, load it yourself with torch.load(..., "
+                f"weights_only=False) and re-save a plain state_dict.")
         logging.getLogger("wmfml_tpu").warning(
-            "weights_only torch.load failed for %s — falling back to full "
-            "unpickling (only do this for checkpoints you trust; the "
-            "reference MMAML combined dict embeds optimizer objects that "
-            "need it: trainer/meta_learner_reg.py:218-227)", path)
+            "weights_only torch.load failed for %s — pickle global scan "
+            "found only allowlisted tensor/container symbols; proceeding "
+            "with full unpickling (reference MMAML combined dicts need "
+            "this: trainer/meta_learner_reg.py:218-227)", path)
         raw = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(raw, dict) and "model_state_dict" in raw:
         sd = {}

@@ -138,9 +138,18 @@ def _render_pose_rgba(size: int, points3d, colors, sigmas, rot: R) -> np.ndarray
     return np.concatenate([rgb, alpha[..., None]], axis=-1).astype(np.float32)
 
 
-def generate_shapenet3d(root: str, seed: int = 1, items_train: int = 30,
-                        items_val: int = 8, items_test: int = 8,
-                        views: int = 30):
+def generate_shapenet3d(root: str, seed: int = 1, items_train: int = 240,
+                        items_val: int = 40, items_test: int = 40,
+                        views: int = 30, small: bool = False):
+    """Synthetic ShapeNet3D split in the reference's pickle layout.
+
+    Defaults to the HEALTHY 240/40/40 split: 30 train items meta-overfit
+    (train 0.14 vs val 0.63 quat L1 — RESULTS.md round 3 root cause), so the
+    small size is opt-in (``small=True`` → 30/8/8) for loader/byte-compat
+    smoke data only.
+    """
+    if small:
+        items_train, items_val, items_test = 30, 8, 8
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
     bg_path = os.path.join(root, "bg_images.npy")

@@ -189,10 +189,12 @@ def build_maml_device_train_step(model, config, sampler, mesh_ctx, tx,
                 batches, {k: sh for k in batches})
         keys = jax.random.split(k_fwd, steps_per_call)
         state, (losses, pres) = jax.lax.scan(one_step, state, (batches, keys))
-        # same metric labels as the host path: task_loss = pre-kl query
-        # loss, kl = the beta-weighted remainder (both from the last step)
+        # same metric labels AND units as the ANP host path (steps.py:90
+        # logs raw out.kl): recover raw kl from the beta-weighted remainder
+        inv_beta = 1.0 / float(config.beta) if config.beta else 0.0
         return state, {"loss": jnp.mean(losses), "task_loss": pres[-1],
-                       "kl": losses[-1] - pres[-1], "contra": 0.0}
+                       "kl": (losses[-1] - pres[-1]) * inv_beta,
+                       "contra": 0.0}
 
     if mesh_ctx is None:
         jitted = jax.jit(fused, donate_argnums=(0,) if config.donate else ())
@@ -272,8 +274,10 @@ class MAMLTrainer(ModelTrainer):
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1, params=params,
                                       opt_state=new_opt)
+            # raw kl, same units as steps.py:90 (see device path above)
+            inv_beta = 1.0 / float(config.beta) if config.beta else 0.0
             return new_state, {"loss": loss, "task_loss": pre,
-                               "kl": loss - pre, "contra": 0.0}
+                               "kl": (loss - pre) * inv_beta, "contra": 0.0}
 
         repl, data = mesh.replicated, mesh.data_sharding
         bs = dict(ctx_x=data, ctx_y=data, ctx_mask=data, qry_x=data,
