@@ -16,6 +16,11 @@ import json
 import os
 import sys
 
+# the installed tensorboard_plugin_profile ships pre-gencode _pb2 modules
+# that the C++ protobuf runtime rejects; pure-python parsing accepts them
+# (slower, but we only convert a few MB of xplane data)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 V5E_HBM_GBPS = 820.0  # spec sheet
@@ -46,8 +51,16 @@ def capture(name: str, cfg, trace_dir: str, calls: int = 4):
 
 
 def tool_data(run_dir: str, tool: str):
-    """Run a tensorboard profile-plugin converter over the captured xplane."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    """Run a profile-plugin converter over the captured xplane.
+
+    The standalone `xprof` wheel ships a working native converter
+    (`_pywrap_profiler_plugin`); the legacy tensorboard_plugin_profile in
+    this image expects a pywrap symbol the TF build doesn't export.
+    """
+    try:
+        from xprof.convert import raw_to_tool_data as rttd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
 
     xplanes = glob.glob(os.path.join(run_dir, "**", "*.xplane.pb"),
                         recursive=True)

@@ -286,3 +286,63 @@ def test_brightness_hsv_semantics():
     outg = np.asarray(brightness(jax.random.PRNGKey(3), g, amount=0.05))
     d = np.unique(np.round(outg - np.asarray(g), 5))
     assert d.size <= 2
+
+
+def test_hash_mask_bits_statistics():
+    """The keyed-hash Bernoulli bits (round-4 rewrite: _hash_keep replaces
+    full-resolution jax.random.bernoulli masks, whose threefry intermediates
+    XLA materialized in HBM) must be statistically iid:
+
+      * drop rate matches p to binomial-CI precision,
+      * no adjacent-pixel correlation (horizontal / vertical / channel),
+      * different keys decorrelate, same key reproduces bitwise.
+    """
+    from wmfml_tpu.aug.image_aug import _hash_keep
+
+    n = 256
+    ids = (jnp.arange(n * n, dtype=jnp.uint32).reshape(n, n, 1))
+    key = jax.random.PRNGKey(17)
+    for p in (0.05, 0.3, 0.5):
+        keep = np.asarray(_hash_keep(key, ids, jnp.float32(p)))[..., 0]
+        drop = 1.0 - keep.mean()
+        # 65536 draws: 5-sigma binomial CI ~ 5*sqrt(p(1-p)/N) < 0.01
+        assert abs(drop - p) < 0.01, (p, drop)
+        # adjacent-cell correlation (phi coefficient) ~ 0
+        for a, b in ((keep[:, :-1], keep[:, 1:]), (keep[:-1], keep[1:])):
+            a = a.ravel().astype(np.float64)
+            b = b.ravel().astype(np.float64)
+            phi = np.corrcoef(a, b)[0, 1]
+            assert abs(phi) < 0.02, (p, phi)
+    k1 = np.asarray(_hash_keep(jax.random.PRNGKey(1), ids, jnp.float32(0.5)))
+    k2 = np.asarray(_hash_keep(jax.random.PRNGKey(2), ids, jnp.float32(0.5)))
+    assert abs(np.corrcoef(k1.ravel(), k2.ravel())[0, 1]) < 0.02
+    k1b = np.asarray(_hash_keep(jax.random.PRNGKey(1), ids, jnp.float32(0.5)))
+    assert (k1 == k1b).all()
+
+
+def test_dropout_per_channel_semantics():
+    """per_channel gate: forced on -> channels independent; off -> shared."""
+    img = jnp.ones((64, 64, 3), jnp.float32)
+    seen_diff = False
+    for s in range(20):
+        out = np.asarray(dropout(jax.random.PRNGKey(s), img, lo=0.3, hi=0.3,
+                                 per_channel_p=1.0))
+        if not (out[..., 0] == out[..., 1]).all():
+            seen_diff = True
+            break
+    assert seen_diff
+    for s in range(8):
+        out = np.asarray(dropout(jax.random.PRNGKey(s), img, lo=0.3, hi=0.3,
+                                 per_channel_p=0.0))
+        assert (out[..., 0] == out[..., 1]).all()
+        assert (out[..., 0] == out[..., 2]).all()
+
+
+def test_exact_chain_preserves_bf16():
+    """Random-order lax.switch branches must agree on dtype: every op body
+    has to return img.dtype (gamma/brightness promoted bf16->f32 until
+    round 4, crashing the Pascal1D exact chain under compute_dtype=bfloat16)."""
+    aug = build_augmenter("pascal_1d")  # 5-op exact chain incl. gamma + blur
+    imgs = jnp.full((1, 2, 16, 16, 1), 0.5, jnp.bfloat16)
+    out = jax.jit(aug)(jax.random.PRNGKey(0), imgs)
+    assert out.dtype == jnp.bfloat16

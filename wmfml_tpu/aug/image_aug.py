@@ -21,7 +21,8 @@ uint8-scale constants rescaled to [0, 1]):
   * dropout        — iaa.Dropout(.01-.1, per_channel=.5)
   * coarse_dropout — iaa.CoarseDropout((0, .05), size_percent=(.02, .25),
                      per_channel=.2) with the size_percent SAMPLED per image
-                     (static-shape max-grid mask + nearest gather upsample)
+                     (per-pixel keyed hash of the low-res cell id == one iid
+                     draw per cell, nearest-upsampled, fully elementwise)
 
 Each is wrapped in ``sometimes(0.5)`` per image, and — like the reference's
 ``iaa.Sequential(random_order=True)`` (`utils/augment.py:61-63`), which
@@ -206,7 +207,10 @@ def _affine_stage(key, h, w, p_gate=0.5):
 
 def gamma_contrast(key, img, lo=0.5, hi=2.0):
     gamma = jax.random.uniform(key, (), minval=lo, maxval=hi)
-    return jnp.clip(img, 1e-6, 1.0) ** gamma
+    # compute in f32, return in img.dtype: every op must preserve dtype so
+    # the random-order lax.switch branches agree (bf16 pipelines)
+    out = jnp.clip(img.astype(jnp.float32), 1e-6, 1.0) ** gamma
+    return out.astype(img.dtype)
 
 
 def brightness(key, img, amount=30.0 / 255.0):
@@ -222,13 +226,15 @@ def brightness(key, img, amount=30.0 / 255.0):
     per image from {YCrCb, HSV, HSL, Lab, Luv, YUV}; we always use HSV."""
     b = jax.random.uniform(key, (), minval=-amount, maxval=amount)
     if img.shape[-1] == 1:
-        return jnp.clip(img + b, 0.0, 1.0)
-    v = jnp.max(img, axis=-1, keepdims=True)
+        return jnp.clip(img + b, 0.0, 1.0).astype(img.dtype)
+    xf = img.astype(jnp.float32)
+    v = jnp.max(xf, axis=-1, keepdims=True)
     scale = jnp.where(v > 1e-6, jnp.clip(v + b, 0.0, 1.0) / jnp.maximum(v, 1e-6),
                       0.0)
     # V==0 (pure black): S is 0 by convention, HSV->RGB gives the gray V'
-    return jnp.where(v > 1e-6, img * scale,
-                     jnp.clip(jnp.zeros_like(img) + jnp.maximum(b, 0.0), 0.0, 1.0))
+    out = jnp.where(v > 1e-6, xf * scale,
+                    jnp.clip(jnp.zeros_like(xf) + jnp.maximum(b, 0.0), 0.0, 1.0))
+    return out.astype(img.dtype)
 
 
 def average_blur(key, img):
@@ -248,14 +254,60 @@ def average_blur(key, img):
     return jnp.where(k == 3, win3, jnp.where(k == 2, win2, img))
 
 
+# -- hash-based mask bits ------------------------------------------------------
+# jax.random.bernoulli over full-resolution dropout masks lowers to a threefry
+# chain whose ~30 intermediate [H,W] u32 arrays XLA materializes in HBM when
+# the consumer fusion can't absorb them (measured on the ANP-1D aug chain:
+# ~0.9 ms/application of materialized RNG traffic at ~650 GB/s, plus 0.64 ms
+# for the one-hot upsample einsum that forced the materialization — RESULTS.md
+# round-4 aug section). Mask bits don't need a counter-based CSPRNG: a keyed
+# murmur3-style integer mix of the pixel/cell index yields
+# iid-to-statistical-precision Bernoulli bits as a single elementwise
+# expression that fuses into the mask multiply (zero extra HBM traffic).
+# The mask DISTRIBUTION (iid per pixel/cell, optional per-channel) is
+# unchanged; only the RNG stream differs, which is already a documented
+# deviation. Distribution tests: tests/test_aug.py.
+
+_GOLDEN = jnp.uint32(0x9E3779B9)
+
+
+def _fmix32(x):
+    """murmur3 32-bit finalizer (full avalanche)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _hash_keep(key, ids, p_drop):
+    """iid Bernoulli(1 - p_drop) keep bits per unique id, keyed by `key`.
+
+    `key` is a (2,) uint32 PRNG key array (its words salt the hash), `ids`
+    any uint32 array of distinct ids, `p_drop` a traced scalar in [0, 1].
+    The hashed word is compared as a [0, 1) uniform at f32 resolution —
+    the same effective resolution as jax.random.uniform's f32 path.
+    """
+    x = (ids ^ key[0]) * _GOLDEN + key[1]
+    x = _fmix32(_fmix32(x))
+    u = x.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    return u >= p_drop
+
+
 def dropout(key, img, lo=0.01, hi=0.1, per_channel_p=0.5):
-    kp, kc, km, kpc = jax.random.split(key, 4)
+    kp, km, kpc = jax.random.split(key, 3)
     p = jax.random.uniform(kp, (), minval=lo, maxval=hi)
     per_channel = jax.random.bernoulli(kpc, per_channel_p)
-    mask_c = jax.random.bernoulli(kc, 1 - p, img.shape)
-    mask_s = jax.random.bernoulli(km, 1 - p, img.shape[:2] + (1,))
-    mask = jnp.where(per_channel, mask_c, jnp.broadcast_to(mask_s, img.shape))
-    return img * mask
+    h, w, c = img.shape
+    yx = (jax.lax.broadcasted_iota(jnp.uint32, (h, w, 1), 0) * jnp.uint32(w)
+          + jax.lax.broadcasted_iota(jnp.uint32, (h, w, 1), 1))
+    ch = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, c), 2)
+    # per_channel: distinct id per (y, x, ch); else channels share the id
+    ids = jnp.where(per_channel, yx * jnp.uint32(c) + ch,
+                    jnp.broadcast_to(yx, (h, w, c)))
+    keep = _hash_keep(km, ids, p)
+    return img * keep.astype(img.dtype)
 
 
 def coarse_dropout(key, img, p_hi=0.05, size_lo=0.02, size_hi=0.25,
@@ -269,34 +321,31 @@ def coarse_dropout(key, img, p_hi=0.05, size_lo=0.02, size_hi=0.25,
     full resolution — the used cells are the same iid Bernoulli draw, so
     the mask distribution is identical, with static shapes throughout.
     """
-    kp, ks, km, kc, kpc = jax.random.split(key, 5)
+    kp, ks, km, kpc = jax.random.split(key, 4)
     h, w, c = img.shape
     p = jax.random.uniform(kp, (), minval=0.0, maxval=p_hi)
     sp = jax.random.uniform(ks, (), minval=size_lo, maxval=size_hi)
     hl = jnp.maximum(jnp.round(h * sp), 1.0)   # low-res dims actually used
     wl = jnp.maximum(jnp.round(w * sp), 1.0)
-    h_max = max(int(round(h * size_hi)), 1)
-    w_max = max(int(round(w * size_hi)), 1)
+    # one iid Bernoulli draw per low-res CELL, nearest-upsampled: every pixel
+    # hashes its cell id, so pixels in the same cell share the draw and
+    # distinct cells are iid — identical distribution to drawing a (hl, wl)
+    # grid and upsampling, with no gather (a traced-index gather vmapped over
+    # the batch lowered to ~61 ms/step on v5e) and no one-hot matmul (whose
+    # conv fusion materialized every RNG intermediate — see _hash_keep note)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 1)
+    cell = (jnp.floor(ys * hl / h) * w + jnp.floor(xs * wl / w)
+            ).astype(jnp.uint32)
     if c == 1:
-        low = jax.random.bernoulli(kc, 1 - p, (h_max, w_max, 1))
+        ids = cell
     else:
-        keep_c = jax.random.bernoulli(km, 1 - p, (h_max, w_max, c))
-        keep_s = jax.random.bernoulli(kc, 1 - p, (h_max, w_max, 1))
         per_channel = jax.random.bernoulli(kpc, per_channel_p)
-        low = jnp.where(per_channel, keep_c,
-                        jnp.broadcast_to(keep_s, (h_max, w_max, c)))
-    # nearest-upsample via one-hot selection MATMULS, not a gather: a
-    # traced-index gather vmapped over the batch lowered to ~61 ms/step on
-    # v5e (27x the whole train step); two tiny matmuls instead
-    iy = jnp.floor(jnp.arange(h) * hl / h)
-    ix = jnp.floor(jnp.arange(w) * wl / w)
-    sel_r = (iy[:, None] == jnp.arange(h_max)[None, :]).astype(jnp.float32)
-    sel_c = (ix[:, None] == jnp.arange(w_max)[None, :]).astype(jnp.float32)
-    low_f = low.astype(jnp.float32).reshape(h_max, w_max * c)
-    m1 = (sel_r @ low_f).reshape(h, w_max, c)              # rows upsampled
-    mask = jnp.einsum("hwc,xw->hxc", m1, sel_c,
-                      preferred_element_type=jnp.float32)  # cols upsampled
-    return img * mask.astype(img.dtype)
+        ch = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, c), 2)
+        ids = jnp.where(per_channel, cell * jnp.uint32(c) + ch,
+                        jnp.broadcast_to(cell, (h, w, c)))
+    keep = _hash_keep(km, ids, p)
+    return img * keep.astype(img.dtype)
 
 
 def coarse_dropout_fixed(key, img, p_hi=0.05):
