@@ -82,8 +82,8 @@ class CheckpointManager:
             # add the flatten_opt hint ONLY when the failure actually looks
             # like an optimizer tree-structure mismatch (optax.flatten wraps
             # the opt_state in one concatenated vector; config key
-            # `flatten_opt`, default true) — missing dirs / corrupt files /
-            # model-architecture changes re-raise unmodified
+            # `flatten_opt`, default false since round 4) — missing dirs /
+            # corrupt files / model-architecture changes re-raise unmodified
             msg = str(e)
             if "opt_state" in msg and (
                     "structure" in msg or "mismatch" in msg
@@ -92,8 +92,8 @@ class CheckpointManager:
                     f"checkpoint restore failed for {path!r}: {e}\n"
                     "The 'opt_state' subtree mismatches: the checkpoint was "
                     "probably saved with the opposite `flatten_opt` setting "
-                    "(the flattened Adam landed with default true; older "
-                    "checkpoints carry per-leaf state). Set `flatten_opt: "
+                    "(default false since round 4; round-3 checkpoints "
+                    "carry flattened state). Set `flatten_opt: "
                     "false` (or true) in the config to match the save-time "
                     "layout — the model params are unaffected either way."
                 ) from e

@@ -174,9 +174,16 @@ class Config:
         # bit-reproducibility with earlier runs. Applied by the CLIs.
         self.prng_impl = get("prng_impl", "threefry")
         # optax.flatten around the optimizer: one concatenated-vector Adam
-        # update instead of per-leaf kernels (small-kernel regime win);
-        # identical math, different opt_state layout
-        self.flatten_opt = get("flatten_opt", True)
+        # update instead of per-leaf kernels; identical math, different
+        # opt_state layout. Default OFF since round 4: xprof attribution
+        # showed the flatten retiling reshape alone cost 17.4% of the ANP
+        # headline step at 5 GB/s (RESULTS.md round-4 opt sweep)
+        self.flatten_opt = get("flatten_opt", False)
+        # max-pool lowering for the literature conv encoder: "window"
+        # (reduce-window; backward = select-and-scatter) or "slice"
+        # (strided slices + maximum; elementwise backward) — see
+        # nn/encoders.py:max_pool2 and the round-4 opt sweep in RESULTS.md
+        self.pool_impl = get("pool_impl", "window")
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes

@@ -86,6 +86,7 @@ class SmallCNP(nn.Module):
     bbb_encoder: bool = False
     fcl: bool = False
     dtype: Optional[jnp.dtype] = None
+    pool_impl: str = "window"      # max-pool lowering (nn/encoders.py:max_pool2)
 
     @nn.compact
     def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
@@ -103,6 +104,7 @@ class SmallCNP(nn.Module):
             x_ctx, _ = enc(ctx_x)
         else:
             enc_mod = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
+                                        pool_impl=self.pool_impl,
                                         name="encoder_w0")
             if MERGE_CTX_QRY:
                 # ONE conv mega-batch for ctx+qry (identical math — the

@@ -51,7 +51,8 @@ def _small(config, agg_mode, tanh_out):
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
         agg_mode=agg_mode, tanh_out=tanh_out,
-        dtype=_dtype(config))
+        dtype=_dtype(config),
+        pool_impl=getattr(config, "pool_impl", "window"))
 
 
 @register("CNPShapeNet1D")

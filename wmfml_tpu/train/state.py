@@ -38,11 +38,15 @@ def build_optimizer(config) -> optax.GradientTransformation:
     weight_decay in the reference YAMLs is False/absent; when a float is given
     we use decoupled AdamW semantics.
 
-    ``flatten_opt`` (default on): wrap in optax.flatten — the update runs on
-    ONE concatenated vector instead of per-tensor, collapsing ~6 elementwise
-    kernels per parameter leaf into ~6 total. Mathematically identical
-    (Adam/SGD are elementwise); only the opt_state layout changes, so keep
-    the setting stable across save/resume.
+    ``flatten_opt`` (default OFF since round 4): wrap in optax.flatten — the
+    update runs on ONE concatenated vector instead of per-tensor.
+    Mathematically identical (Adam/SGD are elementwise); only the opt_state
+    layout changes, so keep the setting stable across save/resume. Round-4
+    xprof op attribution showed the flatten machinery itself was the single
+    biggest op in the ANP headline step: the 1-D→2-D retiling reshape
+    (optax _layouts.py) ran at 5 GB/s for 17.4% of device time, plus the
+    grad concatenate — dropping it measured 2.213→1.888 ms/step (+17%) in a
+    same-window A/B (RESULTS.md round-4 opt sweep; scripts/opt_sweep.py).
     """
     name = config.optimizer.lower()
     lr = config.lr
@@ -73,7 +77,7 @@ def flatten_enabled(config) -> bool:
     model_parallel = bool(config.mesh_shape) and any(
         axis != "data" and int(size) > 1
         for axis, size in dict(config.mesh_shape or {}).items())
-    return bool(getattr(config, "flatten_opt", True)) and not model_parallel
+    return bool(getattr(config, "flatten_opt", False)) and not model_parallel
 
 
 def param_count(params) -> int:
