@@ -69,10 +69,13 @@ def base_cfg(**kw):
         # one window; 64 is the production recommendation (val cadence 64
         # ~= the reference's 50; beyond it is <5% for 4x staging HBM)
         synthetic_data=True, steps_per_call=64, compute_dtype="bfloat16",
-        # perf pipeline (cfg/train/perf): fused single-warp geometry +
-        # fixed-grid CoarseDropout. The exact imgaug-semantics default
-        # costs ~1.4 ms/step more and is measured as its own row below.
-        aug_random_order=False,
+        # HEADLINE SEMANTICS (round-5 swap, VERDICT r4 item 2): the
+        # headline runs the SHIPPED DEFAULT — exact imgaug semantics
+        # (aug_random_order=True, configs/config.py default; imgaug
+        # Sequential(random_order=True) is the reference default,
+        # utils/augment.py:61-63). The perf pipeline
+        # (aug_random_order=False, cfg/train/perf) is measured as its own
+        # "anp_shapenet1d_perf_aug" row below, never as the headline.
     )
     d.update(kw)
     return Config.from_dict(d, make_dirs=False)
@@ -299,7 +302,7 @@ def main():
             # keeps dropping past the reference batch; reported alongside
             # the reference-batch headline, never in place of it
             "anp_shapenet1d_t40": base_cfg(tasks_per_batch=40),
-            "anp_shapenet1d_exact_aug": base_cfg(aug_random_order=True),
+            "anp_shapenet1d_perf_aug": base_cfg(aug_random_order=False),
             "anp_shapenet3d": base_cfg(
                 method="ANP", task="shapenet_3d", img_agg="reshape",
                 tasks_per_batch=20, max_ctx_num=15, query_num=15,

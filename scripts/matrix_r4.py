@@ -34,7 +34,12 @@ def _best(save_path):
         p = os.path.join(save_path, f"best_{split}_error.txt")
         if os.path.exists(p):
             txt = open(p).read().strip()
-            best[split] = float(txt.rsplit(":", 1)[1])
+            try:
+                best[split] = float(txt.rsplit(":", 1)[1])
+            except (IndexError, ValueError):
+                # never abort a finished 20k-iteration stage on a parse
+                # problem — record the raw text instead (round-4 ADVICE)
+                best[split] = {"unparsed": txt[:200]}
     return best
 
 
@@ -136,8 +141,11 @@ def stage_cnp(state):
     cfg = _train("cfg/train/CNP_DA+TA_ShapeNet1D.yaml",
                  ["iterations=20000"] + FAST, "cnp_1d")
     ckpt = os.path.join(cfg.save_path, "models", "model_best_validation")
+    # no CNP ShapeNet1D eval YAML ships (the reference's evaluation set has
+    # none either) — derive the arch keys from the train config instead of
+    # hand-patching, so drift in the train YAML can't desync the eval
     _eval_curve("CNPShapeNet1D", ckpt, "cnp_1d_curve",
-                extra=["agg_mode=max", "dim_r=100"])
+                extra=[f"agg_mode={cfg.agg_mode}", f"dim_r={cfg.dim_r}"])
 
 
 def stage_maml_pascal(state):

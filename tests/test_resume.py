@@ -61,16 +61,18 @@ def test_orbax_full_state_resume(tmp_path):
                                       "model_end_8"))
 
 
-def test_restore_flatten_mismatch_raises_actionable_error(tmp_path):
-    """A checkpoint saved with one `flatten_opt` layout must fail restore
-    under the other with a hint naming the config key (round-3 review
-    fix), not a bare orbax tree error."""
+@pytest.mark.parametrize("saved_flat", [False, True])
+def test_restore_converts_flatten_layout(tmp_path, saved_flat):
+    """A checkpoint saved under one `flatten_opt` layout restores under the
+    other: the opt_state is auto-converted at restore time (round-4 ADVICE —
+    the layouts are value-identical for elementwise optimizers, so a default
+    flip must not strand existing run dirs)."""
     import jax
 
     from wmfml_tpu.ckpt.checkpoint import CheckpointManager
     from wmfml_tpu.train.state import TrainState, build_optimizer
 
-    def make_state(flatten):
+    def make_state(flatten, fill=None):
         cfg = make_cfg(method="CNPShapeNet1D", task="shapenet_1d",
                        agg_mode="max", flatten_opt=flatten)
         model = build_model(cfg)
@@ -82,10 +84,44 @@ def test_restore_flatten_mismatch_raises_actionable_error(tmp_path):
             qry_x=np.zeros((1, 2, h, w, c), np.float32),
         )
         variables = model.init(jax.random.PRNGKey(0), **batch)
-        return TrainState.create(variables, build_optimizer(cfg))
+        state = TrainState.create(variables, build_optimizer(cfg))
+        if fill is not None:
+            # distinguishable moments so value fidelity is actually checked
+            leaves, treedef = jax.tree_util.tree_flatten(state.opt_state)
+            offset = 0
+            new_leaves = []
+            for leaf in leaves:
+                arr = np.asarray(leaf, np.float32)
+                new_leaves.append(
+                    (np.arange(arr.size, dtype=np.float32) + offset
+                     ).reshape(arr.shape).astype(arr.dtype))
+                offset += arr.size
+            state = state.replace(opt_state=jax.tree_util.tree_unflatten(
+                treedef, new_leaves))
+        return state
 
     mgr = CheckpointManager(str(tmp_path))
-    mgr.save("model_intermediate", make_state(flatten=False))
+    src = make_state(flatten=saved_flat, fill=True)
+    mgr.save("model_intermediate", src)
     mgr.wait()
-    with pytest.raises(RuntimeError, match="flatten_opt"):
-        mgr.restore("model_intermediate", make_state(flatten=True))
+    restored = mgr.restore("model_intermediate",
+                           make_state(flatten=not saved_flat))
+    # same total content, re-laid into the target structure
+    src_cat = np.concatenate([np.asarray(x, np.float32).ravel() for x in
+                              jax.tree_util.tree_leaves(src.opt_state)])
+    dst_cat = np.concatenate([np.asarray(x, np.float32).ravel() for x in
+                              jax.tree_util.tree_leaves(restored.opt_state)])
+    assert src_cat.size == dst_cat.size
+    np.testing.assert_allclose(np.sort(src_cat), np.sort(dst_cat))
+    # and the params-shaped moments carry identical values leaf-by-leaf
+    flat_state = (src if saved_flat else restored).opt_state
+    leaf_state = (restored if saved_flat else src).opt_state
+    flat_vecs = [np.asarray(x) for x in jax.tree_util.tree_leaves(flat_state)
+                 if np.ndim(x) == 1 and np.size(x) > 1]
+    p_leaves = [np.asarray(x, np.float32) for x in
+                jax.tree_util.tree_leaves(leaf_state) if np.size(x) > 1]
+    n = len(p_leaves) // len(flat_vecs)
+    for i, vec in enumerate(flat_vecs):
+        got = np.concatenate([x.ravel() for x in
+                              p_leaves[i * n:(i + 1) * n]])
+        np.testing.assert_allclose(np.asarray(vec, np.float32), got)

@@ -316,10 +316,12 @@ def coarse_dropout(key, img, p_hi=0.05, size_lo=0.02, size_hi=0.25,
 
     imgaug samples size_percent per image, draws an iid Bernoulli mask on
     the (h*sp, w*sp) grid and nearest-upsamples it. Data-dependent low-res
-    shapes can't exist under jit, so the mask is drawn once at the MAX grid
-    size and the (h*sp, w*sp) top-left corner is nearest-gathered up to
-    full resolution — the used cells are the same iid Bernoulli draw, so
-    the mask distribution is identical, with static shapes throughout.
+    shapes can't exist under jit, so instead every full-res pixel computes
+    its low-res CELL id and hashes (key, id) into a keep decision
+    (_hash_keep): pixels in the same cell share the draw, distinct cells
+    are iid Bernoulli — the same mask distribution as materializing the
+    (h*sp, w*sp) grid and nearest-upsampling, with static shapes and no
+    materialized RNG intermediates.
     """
     kp, ks, km, kpc = jax.random.split(key, 4)
     h, w, c = img.shape

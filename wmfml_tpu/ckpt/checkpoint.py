@@ -79,33 +79,110 @@ class CheckpointManager:
         try:
             restored = self._ckpt.restore(path, target)
         except Exception as e:
-            # add the flatten_opt hint ONLY when the failure actually looks
-            # like an optimizer tree-structure mismatch (optax.flatten wraps
-            # the opt_state in one concatenated vector; config key
-            # `flatten_opt`, default false since round 4) — missing dirs /
-            # corrupt files / model-architecture changes re-raise unmodified
+            # an opt_state tree-structure mismatch almost always means the
+            # checkpoint was saved under the opposite `flatten_opt` setting
+            # (optax.flatten stores ONE concatenated vector per moment;
+            # default false since round 4, round-3 checkpoints are
+            # flattened). Adam/SGD are elementwise, so the two layouts are
+            # value-identical — detect the saved layout and convert.
             msg = str(e)
             if "opt_state" in msg and (
                     "structure" in msg or "mismatch" in msg
                     or "tree" in msg.lower()):
-                raise RuntimeError(
-                    f"checkpoint restore failed for {path!r}: {e}\n"
-                    "The 'opt_state' subtree mismatches: the checkpoint was "
-                    "probably saved with the opposite `flatten_opt` setting "
-                    "(default false since round 4; round-3 checkpoints "
-                    "carry flattened state). Set `flatten_opt: "
-                    "false` (or true) in the config to match the save-time "
-                    "layout — the model params are unaffected either way."
-                ) from e
-            raise
+                try:
+                    restored = self._restore_adapting_opt_layout(path, target)
+                except Exception as conv_e:  # conversion is best-effort
+                    raise RuntimeError(
+                        f"checkpoint restore failed for {path!r}: {e}\n"
+                        "The 'opt_state' subtree mismatches (checkpoint "
+                        "probably saved with the opposite `flatten_opt` "
+                        "setting) and automatic layout conversion also "
+                        f"failed ({conv_e}). Set `flatten_opt` in the "
+                        "config to match the save-time layout — the model "
+                        "params are unaffected either way."
+                    ) from e
+            else:
+                raise
         return state.replace(step=restored["step"], params=restored["params"],
                              extra_vars=restored["extra_vars"],
                              opt_state=restored["opt_state"])
+
+    def _restore_adapting_opt_layout(self, path: str, target: dict) -> dict:
+        """Restore with the opt_state converted between the optax.flatten
+        single-vector layout and the per-leaf layout (values identical for
+        elementwise optimizers; only the storage layout differs)."""
+        raw = self._ckpt.restore(path)   # structure as saved (nested dicts)
+        restored = {k: raw[k] for k in ("step", "params", "extra_vars")}
+        restored["opt_state"] = _convert_opt_state(
+            raw["opt_state"], target["opt_state"], target["params"])
+        logging.getLogger("wmfml_tpu").warning(
+            "checkpoint %s: opt_state saved under the opposite flatten_opt "
+            "layout; auto-converted at restore (values identical)", path)
+        return restored
 
     def save_best_error(self, run_dir: str, split: str, step: int, error: float):
         """best_<split>_error.txt parity (trainer/model_trainer.py:135-138)."""
         with open(os.path.join(run_dir, f"best_{split}_error.txt"), "w") as f:
             f.write(f"iter: {step}, {split} error: {error}\n")
+
+
+def _convert_opt_state(saved_opt, target_opt, params):
+    """Re-lay saved opt_state values into ``target_opt``'s tree structure.
+
+    optax.flatten stores each moment as ONE concatenated ravel of the param
+    leaves (tree order); the unflattened layout mirrors the params tree.
+    Elementwise optimizers (Adam/AdamW/SGD) are value-identical across the
+    two, so conversion is pure splitting/concatenation. Works in both
+    directions by walking the target leaves in order: wherever a
+    params-shaped block begins, one flat vector is consumed (split) or
+    emitted (concatenated); every other leaf (step counts, scalars) passes
+    through unchanged."""
+    import jax
+
+    p_shapes = [tuple(p.shape) for p in jax.tree_util.tree_leaves(params)]
+    sizes = [int(np.prod(s, dtype=np.int64)) for s in p_shapes]
+    total = int(sum(sizes))
+    splits = np.cumsum(sizes)[:-1]
+
+    s_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(saved_opt)]
+    t_leaves, t_def = jax.tree_util.tree_flatten(target_opt)
+
+    out, si, ti = [], 0, 0
+    while ti < len(t_leaves):
+        t_block = [tuple(np.shape(x)) for x in t_leaves[ti:ti + len(p_shapes)]]
+        if t_block == p_shapes and not (
+                len(p_shapes) == 1 and s_leaves[si].shape == p_shapes[0]):
+            # target wants the per-leaf layout here; saved has one flat vec
+            flat = s_leaves[si]
+            if flat.ndim != 1 or flat.size != total:
+                raise ValueError(
+                    f"expected a flattened moment of size {total}, got "
+                    f"shape {flat.shape}")
+            si += 1
+            out.extend(part.reshape(shp) for part, shp in
+                       zip(np.split(flat, splits), p_shapes))
+            ti += len(p_shapes)
+        elif (tuple(np.shape(t_leaves[ti])) == (total,)
+              and t_leaves[ti].ndim == 1
+              and [tuple(x.shape) for x in
+                   s_leaves[si:si + len(p_shapes)]] == p_shapes):
+            # target wants the flat layout; saved has per-leaf moments
+            out.append(np.concatenate(
+                [x.ravel() for x in s_leaves[si:si + len(p_shapes)]]))
+            si += len(p_shapes)
+            ti += 1
+        else:
+            s = s_leaves[si]
+            if tuple(np.shape(t_leaves[ti])) != tuple(s.shape):
+                raise ValueError(
+                    f"opt_state leaf shape mismatch beyond flatten layout: "
+                    f"saved {s.shape} vs target {np.shape(t_leaves[ti])}")
+            out.append(s)
+            si += 1
+            ti += 1
+    if si != len(s_leaves):
+        raise ValueError("saved opt_state has surplus leaves")
+    return jax.tree_util.tree_unflatten(t_def, out)
 
 
 def restore_params_only(path: str, like_variables: Any):

@@ -182,7 +182,10 @@ class Config:
         # max-pool lowering for the literature conv encoder: "window"
         # (reduce-window; backward = select-and-scatter) or "slice"
         # (strided slices + maximum; elementwise backward) — see
-        # nn/encoders.py:max_pool2 and the round-4 opt sweep in RESULTS.md
+        # nn/encoders.py:max_pool2 and the round-4 opt sweep in RESULTS.md.
+        # Honored by the CNP/ANP family, SingleTaskSmall and the BBB
+        # encoder; the MAML/MMAML inner loop pins "slice" (measured 22%
+        # faster in the second-order loop, models/maml.py).
         self.pool_impl = get("pool_impl", "window")
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged

@@ -94,6 +94,7 @@ class SmallCNP(nn.Module):
         kl = 0.0
         if self.bbb_encoder:
             enc_mod = BBBLiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
+                                           pool_impl=self.pool_impl,
                                            name="encoder_w0")
 
             def enc(x):

@@ -231,7 +231,8 @@ def _(config):
     return SingleTaskSmall(
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
-        tanh_out=True, dtype=_dtype(config))
+        tanh_out=True, dtype=_dtype(config),
+        pool_impl=getattr(config, "pool_impl", "window"))
 
 
 @register("SingleTaskShapeNet3D")

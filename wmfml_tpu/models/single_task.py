@@ -31,12 +31,14 @@ class SingleTaskSmall(nn.Module):
     y_dim: int = 2
     tanh_out: bool = True
     dtype: Optional[jnp.dtype] = None
+    pool_impl: str = "window"      # max-pool lowering (nn/encoders.py:max_pool2)
 
     @nn.compact
     def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
                  qry_y=None):
         del ctx_x, ctx_y, ctx_mask  # context is ignored by design
         x = _flat_apply(LiteratureEncoder(self.dim_w, dtype=self.dtype,
+                                          pool_impl=self.pool_impl,
                                           name="encoder_w0"), qry_x)
         r = EncoderFC(self.n_hidden_units_r, self.dim_r, dtype=self.dtype,
                       name="encoder_r")(x)
