@@ -72,6 +72,9 @@ def op_profile(run_dir: str):
 
     xplanes = glob.glob(os.path.join(run_dir, "**", "*.xplane.pb"),
                         recursive=True)
+    # keep only the NEWEST capture session — a stale prior dump in the same
+    # run_dir makes the converter return None for the mixed set
+    xplanes = sorted(xplanes, key=os.path.getmtime)[-1:]
     data = rttd.xspace_to_tool_data(xplanes, "op_profile^", {})
     if isinstance(data, tuple):
         data = data[0]
@@ -169,10 +172,12 @@ def main():
     from bench import base_cfg
 
     jobs = {}
+    # base_cfg() runs the shipped default (exact aug semantics) since the
+    # round-5 headline swap; the perf pipeline must opt out explicitly
     if which in ("exact", "all"):
-        jobs["exact"] = base_cfg(aug_random_order=True)
+        jobs["exact"] = base_cfg()
     if which in ("perf", "all"):
-        jobs["perf"] = base_cfg()
+        jobs["perf"] = base_cfg(aug_random_order=False)
     if which in ("maml", "all"):
         jobs["maml"] = base_cfg(
             method="MAMLShapeNet1D", aug_list=["data_aug"], agg_mode=None,

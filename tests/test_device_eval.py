@@ -4,7 +4,7 @@ import os
 
 import numpy as np
 
-from tests.test_models_np import make_cfg
+from tests.test_models_np import make_cfg, shrink_images
 from wmfml_tpu.data.shapenet_1d import ShapeNet1D
 from wmfml_tpu.data.synthetic import ensure_dataset
 from wmfml_tpu.models.registry import build_model
@@ -22,8 +22,9 @@ def test_device_validate_matches_host(tmp_path):
     cfg.results_root = str(tmp_path)
     cfg.save_path = str(tmp_path / "run")
     cfg.create_dirs()
-    data = ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
-                      max_ctx=cfg.max_ctx_num, query_num=cfg.query_num)
+    data = shrink_images(
+        ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
+                   max_ctx=cfg.max_ctx_num, query_num=cfg.query_num), cfg)
     trainer = ModelTrainer(build_model(cfg), cfg, data)
     trainer._setup_device_eval()  # lazy in train(); force for the test
     assert "validation" in trainer._device_eval  # device path active
@@ -56,8 +57,9 @@ def test_trainer_with_device_eval_end_to_end(tmp_path):
     cfg.results_root = str(tmp_path)
     cfg.save_path = str(tmp_path / "run")
     cfg.create_dirs()
-    data = ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
-                      max_ctx=cfg.max_ctx_num, query_num=cfg.query_num)
+    data = shrink_images(
+        ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
+                   max_ctx=cfg.max_ctx_num, query_num=cfg.query_num), cfg)
     trainer = ModelTrainer(build_model(cfg), cfg, data)
     trainer.train()
     assert trainer.best_loss["validation"] < 50000

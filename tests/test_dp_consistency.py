@@ -3,7 +3,7 @@
 import jax
 import numpy as np
 
-from tests.test_models_np import episode, make_cfg
+from tests.test_models_np import episode, make_cfg, shrink_images
 from wmfml_tpu.models.registry import build_model
 from wmfml_tpu.parallel.mesh import MeshContext
 from wmfml_tpu.train.state import TrainState, build_optimizer
@@ -12,7 +12,8 @@ from wmfml_tpu.train.steps import build_train_step, init_model
 
 def test_sharded_step_matches_single_device():
     cfg = make_cfg(method="CNPShapeNet1D", task="shapenet_1d", agg_mode="max",
-                   aug_list=[], tasks_per_batch=8, donate=False)
+                   aug_list=[], tasks_per_batch=8, donate=False,
+                   img_size=(32, 32, 1))
     model = build_model(cfg)
     tx = build_optimizer(cfg)
     key = jax.random.PRNGKey(0)
@@ -74,8 +75,9 @@ def test_device_data_fused_step_dp_consistency():
     cfg = make_cfg(method="CNPShapeNet1D", task="shapenet_1d", agg_mode="max",
                    aug_list=["task_aug"], tasks_per_batch=8, donate=False,
                    data_size="small", steps_per_call=2)
-    data = ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
-                      max_ctx=cfg.max_ctx_num, query_num=cfg.query_num)
+    data = shrink_images(
+        ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
+                   max_ctx=cfg.max_ctx_num, query_num=cfg.query_num), cfg)
     sampler = from_dataset(data, cfg)
     assert sampler is not None
     model = build_model(cfg)

@@ -55,6 +55,7 @@ def test_tp_param_sharding_rule_and_train_step():
         img_agg="reshape", aug_list=[], loss_type="mse", tasks_per_batch=4,
         max_ctx_num=3, query_num=3, lr=1e-3, seed=0, gen_bg=False,
         mesh_shape={"data": 4, "model": 2}))
+    cfg.img_size = [32, 32, 4]  # tests-only shrink (CPU conv cost; C stays 4=RGBA)
     mesh_ctx = MeshContext.create({"data": 4, "model": 2})
     rule = param_sharding_rule(mesh_ctx.mesh)
     big = np.zeros((512, 256), np.float32)
@@ -77,10 +78,10 @@ def test_tp_param_sharding_rule_and_train_step():
 
     rng = np.random.RandomState(0)
     batch = mesh_ctx.put_batch(dict(
-        ctx_x=rng.rand(4, 3, 64, 64, 3).astype(np.float32),
+        ctx_x=rng.rand(4, 3, 32, 32, 3).astype(np.float32),
         ctx_y=rng.rand(4, 3, 4).astype(np.float32),
         ctx_mask=np.ones((4, 3), bool),
-        qry_x=rng.rand(4, 3, 64, 64, 3).astype(np.float32),
+        qry_x=rng.rand(4, 3, 32, 32, 3).astype(np.float32),
         qry_y=rng.rand(4, 3, 4).astype(np.float32)))
     new_state, metrics = step(state, batch, key)
     assert np.isfinite(float(metrics["loss"]))

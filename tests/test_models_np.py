@@ -18,9 +18,30 @@ BASE = dict(
 
 
 def make_cfg(**kw):
+    # img_size: tests-only override of the task-derived image shape —
+    # equivalence/consistency properties hold at any size, and CPU conv
+    # cost scales ~quadratically with H*W (quick-tier budget, VERDICT r4 #6)
+    img_size = kw.pop("img_size", None)
     d = dict(BASE)
     d.update(kw)
-    return Config.from_dict(d)
+    cfg = Config.from_dict(d)
+    if img_size is not None:
+        cfg.img_size = list(img_size)
+    return cfg
+
+
+def shrink_images(data, cfg, stride=4):
+    """Strided-subsample a loaded dataset's images to match a shrunken
+    cfg.img_size (tests only; keeps labels/RNG streams untouched)."""
+    for attr in ("x_train", "x_val", "x_test"):
+        x = getattr(data, attr, None)
+        if x is not None:
+            setattr(data, attr,
+                    np.ascontiguousarray(x[:, :, ::stride, ::stride]))
+    h, w, c = cfg.img_size
+    cfg.img_size = [h // stride, w // stride, c]
+    data.img_size = cfg.img_size
+    return data
 
 
 def episode(cfg, channels=None, label_dim=None, seed=0):

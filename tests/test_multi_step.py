@@ -3,7 +3,7 @@
 import jax
 import numpy as np
 
-from tests.test_models_np import episode, make_cfg
+from tests.test_models_np import episode, make_cfg, shrink_images
 from wmfml_tpu.models.registry import build_model
 from wmfml_tpu.train.state import TrainState, build_optimizer
 from wmfml_tpu.train.steps import (build_multi_train_step, build_train_step,
@@ -12,7 +12,7 @@ from wmfml_tpu.train.steps import (build_multi_train_step, build_train_step,
 
 def test_multi_step_equals_sequential():
     cfg = make_cfg(method="CNPShapeNet1D", task="shapenet_1d", agg_mode="max",
-                   aug_list=[], donate=False)
+                   aug_list=[], donate=False, img_size=(32, 32, 1))
     model = build_model(cfg)
     tx = build_optimizer(cfg)
     key = jax.random.PRNGKey(0)
@@ -62,8 +62,9 @@ def test_trainer_with_steps_per_call(tmp_path):
     cfg.results_root = str(tmp_path)
     cfg.save_path = str(tmp_path / "run")
     cfg.create_dirs()
-    data = ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
-                      max_ctx=cfg.max_ctx_num, query_num=cfg.query_num)
+    data = shrink_images(
+        ShapeNet1D(root, cfg.img_size, seed=0, data_size="small",
+                   max_ctx=cfg.max_ctx_num, query_num=cfg.query_num), cfg)
     trainer = ModelTrainer(build_model(cfg), cfg, data)
     trainer.train()
     assert int(trainer.state.step) == cfg.iterations

@@ -55,11 +55,55 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a, b)
 
 
+@jax.custom_vjp
+def _max_pool2_hybrid(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _max_pool2_hybrid_fwd(x):
+    y = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return y, (x, y)
+
+
+def _max_pool2_hybrid_bwd(res, g):
+    # grad to the FIRST max element in window raster order (matches the
+    # select-and-scatter lowering and torch MaxPool2d): elementwise
+    # comparisons against the broadcast window max + a first-occurrence
+    # mask — all VPU work, no select-and-scatter op
+    x, y = res
+    b, h, w, c = x.shape
+    xw = x[:, : y.shape[1] * 2, : y.shape[2] * 2]
+    xw = xw.reshape(b, y.shape[1], 2, y.shape[2], 2, c)
+    eq = xw == y[:, :, None, :, None, :]
+    # raster order within the 2x2 window: (0,0), (0,1), (1,0), (1,1)
+    e00, e01 = eq[:, :, 0, :, 0], eq[:, :, 0, :, 1]
+    e10, e11 = eq[:, :, 1, :, 0], eq[:, :, 1, :, 1]
+    m00 = e00
+    m01 = e01 & ~e00
+    m10 = e10 & ~(e00 | e01)
+    m11 = e11 & ~(e00 | e01 | e10)
+    first = jnp.stack(
+        [jnp.stack([m00, m01], axis=3), jnp.stack([m10, m11], axis=3)],
+        axis=2)                                    # [b, h2, 2, w2, 2, c]
+    gx = jnp.where(first, g[:, :, None, :, None, :], 0).astype(x.dtype)
+    gx = gx.reshape(b, y.shape[1] * 2, y.shape[2] * 2, c)
+    if gx.shape[1] != h or gx.shape[2] != w:       # odd dims: pad the floor
+        gx = jnp.pad(gx, ((0, 0), (0, h - gx.shape[1]),
+                          (0, w - gx.shape[2]), (0, 0)))
+    return (gx,)
+
+
+_max_pool2_hybrid.defvjp(_max_pool2_hybrid_fwd, _max_pool2_hybrid_bwd)
+
+
 def max_pool2(x: jnp.ndarray, impl: str = "window") -> jnp.ndarray:
     """2x2/stride-2 max pool; impl='slice' for loops XLA lowers badly
-    (second-order MAML), 'window' (reduce-window) elsewhere."""
+    (second-order MAML), 'hybrid' for reduce-window forward + mask-based
+    backward (no select-and-scatter), 'window' (reduce-window) elsewhere."""
     if impl == "slice":
         return max_pool_2x2(x)
+    if impl == "hybrid":
+        return _max_pool2_hybrid(x)
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
