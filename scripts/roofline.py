@@ -64,6 +64,53 @@ def capture(name: str, cfg, trace_dir: str, calls: int):
     }
 
 
+def module_timeline(run_dir: str):
+    """Per-execution timeline of XLA modules on the TPU plane.
+
+    Answers the round-4 open question directly: is the window idle a real
+    steady-state inter-dispatch gap (attackable) or a trace-start edge
+    artifact (not)? Returns a list of (name, start_ms, dur_ms) plus the
+    derived segmentation.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xplanes = sorted(glob.glob(os.path.join(run_dir, "**", "*.xplane.pb"),
+                               recursive=True), key=os.path.getmtime)
+    xs = xplane_pb2.XSpace()
+    with open(xplanes[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    plane = next(p for p in xs.planes if p.name == "/device:TPU:0")
+    emeta = plane.event_metadata
+    line = next(l for l in plane.lines if l.name == "XLA Modules")
+    evs = sorted(line.events, key=lambda e: e.offset_ps)
+    if not evs:
+        return None
+    t0 = evs[0].offset_ps
+    mods = [(emeta[e.metadata_id].name.split("(")[0],
+             (e.offset_ps - t0) / 1e9, e.duration_ps / 1e9) for e in evs]
+    # the main program = the module with the largest total time
+    totals = {}
+    for name, _, dur in mods:
+        totals[name] = totals.get(name, 0.0) + dur
+    main_name = max(totals, key=totals.get)
+    main = [(s, d) for n, s, d in mods if n == main_name]
+    first_start = main[0][0]
+    last_end = max(s + d for s, d in main)
+    inter_gap = (last_end - first_start) - sum(d for _, d in main)
+    return {
+        "main_module": main_name,
+        "executions": len(main),
+        "edge_gap_ms": round(first_start, 3),   # trace open -> first program
+        "steady_span_ms": round(last_end - first_start, 3),
+        "steady_busy_ms": round(sum(d for _, d in main), 3),
+        "steady_inter_dispatch_gap_ms": round(inter_gap, 3),
+        "steady_idle_pct": round(100 * inter_gap /
+                                 max(last_end - first_start, 1e-9), 2),
+        "aux_modules_ms": round(sum(d for n, _, d in mods
+                                    if n != main_name), 4),
+    }
+
+
 def op_profile(run_dir: str):
     try:
         from xprof.convert import raw_to_tool_data as rttd
@@ -109,16 +156,12 @@ def summarize(op, timing) -> dict:
             "flops_util": round(m["flops"], 4),
         })
 
+    # fusion-level granularity: category -> fusion/op. Recursing further
+    # (into a fusion's constituent HLO instructions) fragments the time
+    # attribution and buries the actionable unit (the fusion XLA scheduled).
     ops = []
-
-    def walk(node):
-        for ch in node.get("children", []):
-            if ch.get("children"):
-                walk(ch)
-            else:
-                ops.append(ch)
-
-    walk(main)
+    for cat in main.get("children", []):
+        ops.extend(cat.get("children", []) or [cat])
     ops.sort(key=lambda c: -c["metrics"]["rawTime"])
     top = []
     for ch in ops[:20]:
@@ -191,6 +234,10 @@ def main():
         run_dir, timing = capture(name, cfg, f"/tmp/roofline/{name}", calls)
         res = summarize(op_profile(run_dir), timing)
         res["workload"] = name
+        try:
+            res["timeline"] = module_timeline(run_dir)
+        except Exception as e:  # timeline is additive evidence, not a gate
+            res["timeline"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         out = f"results/profiles/roofline_{name}.json"
         with open(out, "w") as f:
             json.dump(res, f, indent=1)

@@ -57,17 +57,17 @@ import jax.numpy as jnp
 def _interp_matrix(n: int, src: jnp.ndarray) -> jnp.ndarray:
     """[n, n] bilinear interpolation matrix: row i mixes input taps for
     output position i sampling at ``src[i]``; out-of-range taps get zero
-    weight (their mass is filled with cval by the caller)."""
-    i0 = jnp.floor(src)
-    frac = src - i0
-    w0, w1 = 1.0 - frac, frac
-    valid0 = (i0 >= 0) & (i0 < n)
-    valid1 = (i0 + 1 >= 0) & (i0 + 1 < n)
-    i0c = jnp.clip(i0, 0, n - 1).astype(jnp.int32)
-    i1c = jnp.clip(i0 + 1, 0, n - 1).astype(jnp.int32)
-    eye0 = jax.nn.one_hot(i0c, n, dtype=jnp.float32)
-    eye1 = jax.nn.one_hot(i1c, n, dtype=jnp.float32)
-    return (w0 * valid0)[:, None] * eye0 + (w1 * valid1)[:, None] * eye1
+    weight (their mass is filled with cval by the caller).
+
+    Tent form: A[i, j] = relu(1 - |src_i - j|). For j = floor(src):
+    1 - |src - j| = 1 - frac; for j = floor(src)+1: 1 - (j - src) = frac;
+    0 elsewhere — identical to the two-one-hot construction (out-of-range
+    taps vanish because j only ranges over [0, n)), at 4 VPU ops/element
+    instead of ~9. The roofline measured interp-matrix construction as the
+    largest latency-bound block of the exact-aug chain (2x ~100 us/step,
+    results/profiles/roofline_exact.json)."""
+    j = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - j[None, :]))
 
 
 def _stage_matrices(h: int, w: int, scale_xy, translate_xy, nearest=None,
@@ -83,11 +83,14 @@ def _stage_matrices(h: int, w: int, scale_xy, translate_xy, nearest=None,
     if nearest is not None:
         src_y = jnp.where(nearest, jnp.floor(src_y + 0.5), src_y)
         src_x = jnp.where(nearest, jnp.floor(src_x + 0.5), src_x)
+    if gate is not None:
+        # identity == tent matrix of src=arange, so the off-branch is an
+        # [n] select on the coordinates instead of an [n, n] select on the
+        # built matrices
+        src_y = jnp.where(gate, src_y, jnp.arange(h, dtype=jnp.float32))
+        src_x = jnp.where(gate, src_x, jnp.arange(w, dtype=jnp.float32))
     wy = _interp_matrix(h, src_y)                      # [H, H]
     wx = _interp_matrix(w, src_x)                      # [W, W]
-    if gate is not None:
-        wy = jnp.where(gate, wy, jnp.eye(h, dtype=jnp.float32))
-        wx = jnp.where(gate, wx, jnp.eye(w, dtype=jnp.float32))
     return wy, wx
 
 

@@ -187,6 +187,9 @@ class Config:
         # encoder; the MAML/MMAML inner loop pins "slice" (measured 22%
         # faster in the second-order loop, models/maml.py).
         self.pool_impl = get("pool_impl", "window")
+        # MAML-family override (separate default: 'window' is measured-wrong
+        # inside the second-order inner loop)
+        self.maml_pool_impl = get("maml_pool_impl", "slice")
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes

@@ -81,6 +81,9 @@ class MAMLRegressor(nn.Module):
     tanh_out: bool = True
     bbb_encoder: bool = False
     dtype: Optional[jnp.dtype] = None
+    pool_impl: str = "slice"   # measured: reduce-window lowers pathologically
+    # inside the second-order inner loop (22% of the outer step, RESULTS.md
+    # round 2); 'hybrid' is the A/B alternative (nn/encoders.py:max_pool2)
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -90,11 +93,12 @@ class MAMLRegressor(nn.Module):
         # second-order inner loop (22% of the outer step, RESULTS.md round 2)
         if self.bbb_encoder:
             w, kl = BBBLiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
-                                         pool_impl="slice",
+                                         pool_impl=self.pool_impl,
                                          name="encoder_w")(x)
         else:
             w = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
-                                  pool_impl="slice", name="encoder_w")(x)
+                                  pool_impl=self.pool_impl,
+                                  name="encoder_w")(x)
         side = int(self.dim_w ** 0.5)
         h = w.reshape(-1, side, side, 1)
         for i in range(4):

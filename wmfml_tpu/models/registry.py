@@ -180,7 +180,10 @@ def _maml(config, tanh_out, bbb):
     return MAMLRegressor(
         dim_w=config.dim_w, dim_hidden=config.dim_hidden or 64,
         output_dim=config.output_dim, tanh_out=tanh_out, bbb_encoder=bbb,
-        dtype=_dtype(config))
+        dtype=_dtype(config),
+        # separate knob from pool_impl: the global default ('window') is
+        # measured-wrong inside the second-order inner loop
+        pool_impl=getattr(config, "maml_pool_impl", "slice"))
 
 
 @register("MAMLShapeNet1D")
