@@ -190,6 +190,10 @@ class Config:
         # MAML-family override (separate default: 'window' is measured-wrong
         # inside the second-order inner loop)
         self.maml_pool_impl = get("maml_pool_impl", "slice")
+        # conv1 input-gradient lowering in the literature encoder:
+        # "phase" = one dense 2x2 conv over output grads + pixel-shuffle,
+        # "xla" = the stock input-dilated convolution (nn/encoders.py)
+        self.conv_bwd = get("conv_bwd", "xla")
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes

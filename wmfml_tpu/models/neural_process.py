@@ -87,6 +87,7 @@ class SmallCNP(nn.Module):
     fcl: bool = False
     dtype: Optional[jnp.dtype] = None
     pool_impl: str = "window"      # max-pool lowering (nn/encoders.py:max_pool2)
+    conv_bwd: str = "xla"          # conv1 input-grad lowering (encoders.py)
 
     @nn.compact
     def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
@@ -106,6 +107,7 @@ class SmallCNP(nn.Module):
         else:
             enc_mod = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
                                         pool_impl=self.pool_impl,
+                                        conv_bwd=self.conv_bwd,
                                         name="encoder_w0")
             if MERGE_CTX_QRY:
                 # ONE conv mega-batch for ctx+qry (identical math — the

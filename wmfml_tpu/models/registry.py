@@ -52,7 +52,8 @@ def _small(config, agg_mode, tanh_out):
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
         agg_mode=agg_mode, tanh_out=tanh_out,
         dtype=_dtype(config),
-        pool_impl=getattr(config, "pool_impl", "window"))
+        pool_impl=getattr(config, "pool_impl", "window"),
+        conv_bwd=getattr(config, "conv_bwd", "xla"))
 
 
 @register("CNPShapeNet1D")

@@ -107,12 +107,108 @@ def max_pool2(x: jnp.ndarray, impl: str = "window") -> jnp.ndarray:
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+def _conv3x3_s2(x, w):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, w, (2, 2), [(1, 1), (1, 1)],
+                                        dimension_numbers=dn)
+
+
+@jax.custom_vjp
+def conv3x3_s2_phase(x, w):
+    """3x3/stride-2/pad-1 NHWC conv whose input-gradient is computed as ONE
+    2x2 stride-1 conv over the output grads + depth-to-space, instead of
+    XLA's input-dilated convolution.
+
+    The dilated form materializes the zero-interleaved grads (a [B, 2Ho,
+    2Wo, Co] intermediate) and contracts over a sparse 3x3 window; measured
+    at 239 us/step / 55% HBM BW as the single hottest fusion of the
+    headline backward (results/profiles/roofline_exact.json, fusion.4739).
+    The phase form exploits p = 2i + kh - 1: output parity (a, b) selects a
+    fixed subset of kernel taps, so all four parities come out of one dense
+    conv with a [2, 2, Co, 4*Ci] kernel assembled from W's taps (contraction
+    2*2*Co, MXU-friendly), followed by a pixel-shuffle. Validated equal to
+    the XLA VJP to fp roundoff (tests/test_conv_phase.py).
+    """
+    return _conv3x3_s2(x, w)
+
+
+def _conv3x3_s2_phase_fwd(x, w):
+    return _conv3x3_s2(x, w), (x, w)
+
+
+def _conv3x3_s2_phase_bwd(res, g):
+    x, w = res
+    b, hh, ww, ci = x.shape
+    _, ho, wo, co = g.shape
+
+    # dw: conv is linear in w — transpose the linear map, no forward re-run
+    dw = jax.linear_transpose(lambda w_: _conv3x3_s2(x, w_), w)(g)[0]
+
+    if hh != 2 * ho or ww != 2 * wo:
+        # odd spatial dims: fall back to XLA's dilated-conv input grad
+        dx = jax.linear_transpose(lambda x_: _conv3x3_s2(x_, w), x)(g)[0]
+        return dx, dw
+
+    # phase kernel K[di, dj, co, phase, ci]: output position (2i+a, 2j+b)
+    # reads gpad[i+di, j+dj] against tap W[kh, kw] where (a: di=0 -> kh=1)
+    # for even parity and (di=0 -> kh=2, di=1 -> kh=0) for odd parity
+    # (p = 2i' + kh - 1 solved for i'), same for columns
+    z = jnp.zeros((co, ci), w.dtype)
+    t = lambda kh, kw: jnp.transpose(w[kh, kw])          # [Ci,Co] -> [Co,Ci]
+    k00 = jnp.stack([t(1, 1), t(1, 2), t(2, 1), t(2, 2)], 1)
+    k01 = jnp.stack([z, t(1, 0), z, t(2, 0)], 1)
+    k10 = jnp.stack([z, z, t(0, 1), t(0, 2)], 1)
+    k11 = jnp.stack([z, z, z, t(0, 0)], 1)
+    kern = jnp.stack([jnp.stack([k00, k01], 0),
+                      jnp.stack([k10, k11], 0)], 0)      # [2,2,Co,4,Ci]
+    kern = kern.reshape(2, 2, co, 4 * ci)
+
+    gpad = jnp.pad(g, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(gpad.shape, kern.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    ph = jax.lax.conv_general_dilated(gpad, kern, (1, 1), "VALID",
+                                      dimension_numbers=dn)
+    dx = ph.reshape(b, ho, wo, 2, 2, ci).transpose(0, 1, 3, 2, 4, 5)
+    dx = dx.reshape(b, hh, ww, ci).astype(x.dtype)
+    return dx, dw
+
+
+conv3x3_s2_phase.defvjp(_conv3x3_s2_phase_fwd, _conv3x3_s2_phase_bwd)
+
+
+class Conv3x3S2(nn.Module):
+    """Drop-in for nn.Conv(features, (3,3), strides=2, pad 1) with a
+    selectable input-gradient lowering; parameter pytree ("kernel",
+    "bias") and init match nn.Conv exactly."""
+
+    features: int
+    kernel_init: object
+    bias_init: object
+    dtype: Optional[jnp.dtype] = None
+    grad_impl: str = "phase"          # "phase" | "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        if self.dtype is not None:
+            x, kernel = x.astype(self.dtype), kernel.astype(self.dtype)
+        op = conv3x3_s2_phase if self.grad_impl == "phase" else _conv3x3_s2
+        y = op(x, kernel)
+        return y + bias.astype(y.dtype)
+
+
 class LiteratureEncoder(nn.Module):
     """Conv stack -> dim_w feature per image."""
 
     dim_w: int
     dtype: Optional[jnp.dtype] = None
     pool_impl: str = "window"
+    conv_bwd: str = "xla"             # conv1 input-grad lowering (see
+    # conv3x3_s2_phase); conv0's input-grad is dead (images are leaves) and
+    # conv2's is tiny (16x16), so only conv1 gets the choice
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
@@ -122,10 +218,15 @@ class LiteratureEncoder(nn.Module):
                     bias_init=torch_bias_init(c_in * 9), dtype=self.dtype,
                     name="conv0")(x)
         x = nn.relu(x)
-        x = nn.Conv(48, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
-                    kernel_init=torch_kernel_init,
-                    bias_init=torch_bias_init(32 * 9), dtype=self.dtype,
-                    name="conv1")(x)
+        if self.conv_bwd == "phase":
+            x = Conv3x3S2(48, kernel_init=torch_kernel_init,
+                          bias_init=torch_bias_init(32 * 9),
+                          dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(48, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(32 * 9), dtype=self.dtype,
+                        name="conv1")(x)
         x = nn.relu(x)
         x = max_pool2(x, self.pool_impl)
         x = nn.Conv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
