@@ -67,7 +67,11 @@ def main():
         for t in batches:
             name = f"{m}_T{t}"
             print(f"[sweep] compiling {name} ...", flush=True)
-            variants[name] = build(m, t)
+            try:
+                variants[name] = build(m, t)
+            except Exception as e:  # degraded compile windows: keep going
+                print(f"[sweep] {name} failed to build: "
+                      f"{type(e).__name__}: {e}"[:200], flush=True)
 
     # warmup every variant (fetch-synced)
     for name, v in variants.items():
