@@ -138,8 +138,11 @@ def test_mmaml_optimizer_flatten_gate():
             x.shape for x in jax.tree_util.tree_leaves(opt_state)
             if hasattr(x, "shape") and x.size > 1)
 
-    flat = mu_leaf_shapes(mmaml_cfg())
-    flat_tp = mu_leaf_shapes(mmaml_cfg(mesh_shape={"data": 1, "model": 2}))
+    # flatten_opt defaults to False since round 4 (restore auto-detects
+    # either layout); the gate itself is what this test pins
+    flat = mu_leaf_shapes(mmaml_cfg(flatten_opt=True))
+    flat_tp = mu_leaf_shapes(mmaml_cfg(flatten_opt=True,
+                                       mesh_shape={"data": 1, "model": 2}))
     per_leaf = mu_leaf_shapes(mmaml_cfg(flatten_opt=False))
     assert all(len(s) == 1 for s in flat)   # flattened: 1-D vectors only
     assert flat_tp == flat                  # layout independent of mesh
