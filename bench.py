@@ -308,6 +308,13 @@ def main():
                 tasks_per_batch=20, max_ctx_num=15, query_num=15,
                 dim_w=None, gen_bg=True, steps_per_call=64),
             "maml_shapenet1d": base_cfg(method="MAMLShapeNet1D", **maml_kw),
+            # throughput-optimal batch from the round-5 interleaved sweep
+            # (scripts/maml_batch_sweep.py: T20 +66% tasks/s over the
+            # reference batch T10; T40 regresses). MMAML measured flat in
+            # T (its optimum IS the reference batch), so it has no extra row.
+            "maml_shapenet1d_t20": base_cfg(method="MAMLShapeNet1D",
+                                            **dict(maml_kw,
+                                                   tasks_per_batch=20)),
             "mmaml_shapenet1d": base_cfg(
                 method="MMAMLShapeNet1D",
                 **dict(maml_kw, aug_list=["data_aug", "task_aug"])),
