@@ -1,0 +1,71 @@
+"""Phase-layout (space-to-depth) stem == stock conv stack, values and
+gradients, on the SAME parameters (nn/encoders.py:_s2d_stem)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wmfml_tpu.nn.encoders import LiteratureEncoder
+
+
+def _grads(mod, v, x):
+    def loss(params):
+        return jnp.sum(mod.apply({"params": params}, x) ** 2)
+    return jax.grad(loss)(v["params"])
+
+
+def test_s2d_stem_matches_stock_values_and_grads():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 1), jnp.float32)
+    stock = LiteratureEncoder(dim_w=16, stem_impl="conv")
+    s2d = LiteratureEncoder(dim_w=16, stem_impl="s2d")
+    v = stock.init(jax.random.PRNGKey(0), x)
+    # identical param pytrees (names + shapes) => the SAME variables load
+    v2 = s2d.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(v2))
+
+    y_stock = stock.apply(v, x)
+    y_s2d = s2d.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_stock),
+                               rtol=2e-5, atol=2e-5)
+
+    ga = jax.tree_util.tree_leaves(_grads(stock, v, x))
+    gb = jax.tree_util.tree_leaves(_grads(s2d, v, x))
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_s2d_stem_second_order_matches():
+    # MAML differentiates THROUGH the inner gradient: grad-of-grad must
+    # also agree between the two lowerings on the same params.
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 16, 16, 1), jnp.float32)
+    stock = LiteratureEncoder(dim_w=8, stem_impl="conv")
+    s2d = LiteratureEncoder(dim_w=8, stem_impl="s2d")
+    v = stock.init(jax.random.PRNGKey(0), x)
+
+    def second_order(mod):
+        def inner(params):
+            g = jax.grad(
+                lambda p: jnp.sum(mod.apply({"params": p}, x) ** 2))(params)
+            return sum(jnp.sum(leaf ** 2)
+                       for leaf in jax.tree_util.tree_leaves(g))
+        return jax.grad(inner)(v["params"])
+
+    ga = jax.tree_util.tree_leaves(second_order(stock))
+    gb = jax.tree_util.tree_leaves(second_order(s2d))
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_s2d_stem_odd_dims_fall_back():
+    # H % 4 != 0: the s2d gate must fall back to the stock stack
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 30, 30, 1), jnp.float32)
+    s2d = LiteratureEncoder(dim_w=8, stem_impl="s2d")
+    v = s2d.init(jax.random.PRNGKey(0), x)
+    out = s2d.apply(v, x)
+    assert out.shape == (2, 8)

@@ -194,6 +194,15 @@ class Config:
         # "phase" = one dense 2x2 conv over output grads + pixel-shuffle,
         # "xla" = the stock input-dilated convolution (nn/encoders.py)
         self.conv_bwd = get("conv_bwd", "xla")
+        # literature-encoder stem lowering: "s2d" computes conv0+conv1 in
+        # phase (space-to-depth) layout — identical math/params (golden +
+        # second-order tested, tests/test_s2d_stem.py), no input-dilated
+        # backward. Measured default-on: exact-aug headline 1.92->1.79
+        # ms/step, MAML 2nd-order T20 123.8->68.4 ms/step (+81%). "conv"
+        # restores the stock nn.Conv stack. Applies to the non-BBB
+        # LiteratureEncoder paths (SmallCNP/MAML/SingleTask families);
+        # falls back to stock when H or W % 4 != 0.
+        self.stem_impl = get("stem_impl", "s2d")
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes

@@ -84,6 +84,8 @@ class MAMLRegressor(nn.Module):
     pool_impl: str = "slice"   # measured: reduce-window lowers pathologically
     # inside the second-order inner loop (22% of the outer step, RESULTS.md
     # round 2); 'hybrid' is the A/B alternative (nn/encoders.py:max_pool2)
+    stem_impl: str = "conv"    # "s2d" = phase-layout conv0+conv1 lowering
+    # (nn/encoders.py:_s2d_stem); identical math/params, BBB path unaffected
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -98,6 +100,7 @@ class MAMLRegressor(nn.Module):
         else:
             w = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
                                   pool_impl=self.pool_impl,
+                                  stem_impl=self.stem_impl,
                                   name="encoder_w")(x)
         side = int(self.dim_w ** 0.5)
         h = w.reshape(-1, side, side, 1)

@@ -88,6 +88,7 @@ class SmallCNP(nn.Module):
     dtype: Optional[jnp.dtype] = None
     pool_impl: str = "window"      # max-pool lowering (nn/encoders.py:max_pool2)
     conv_bwd: str = "xla"          # conv1 input-grad lowering (encoders.py)
+    stem_impl: str = "conv"        # "s2d" = phase-layout stem (encoders.py)
 
     @nn.compact
     def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
@@ -108,6 +109,7 @@ class SmallCNP(nn.Module):
             enc_mod = LiteratureEncoder(dim_w=self.dim_w, dtype=self.dtype,
                                         pool_impl=self.pool_impl,
                                         conv_bwd=self.conv_bwd,
+                                        stem_impl=self.stem_impl,
                                         name="encoder_w0")
             if MERGE_CTX_QRY:
                 # ONE conv mega-batch for ctx+qry (identical math — the

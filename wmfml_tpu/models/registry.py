@@ -53,7 +53,8 @@ def _small(config, agg_mode, tanh_out):
         agg_mode=agg_mode, tanh_out=tanh_out,
         dtype=_dtype(config),
         pool_impl=getattr(config, "pool_impl", "window"),
-        conv_bwd=getattr(config, "conv_bwd", "xla"))
+        conv_bwd=getattr(config, "conv_bwd", "xla"),
+        stem_impl=getattr(config, "stem_impl", "conv"))
 
 
 @register("CNPShapeNet1D")
@@ -184,7 +185,8 @@ def _maml(config, tanh_out, bbb):
         dtype=_dtype(config),
         # separate knob from pool_impl: the global default ('window') is
         # measured-wrong inside the second-order inner loop
-        pool_impl=getattr(config, "maml_pool_impl", "slice"))
+        pool_impl=getattr(config, "maml_pool_impl", "slice"),
+        stem_impl=getattr(config, "stem_impl", "conv"))
 
 
 @register("MAMLShapeNet1D")
@@ -236,7 +238,8 @@ def _(config):
         dim_w=config.dim_w, n_hidden_units_r=tuple(config.n_hidden_units_r),
         dim_r=config.dim_r, dim_z=config.dim_z, y_dim=config.output_dim,
         tanh_out=True, dtype=_dtype(config),
-        pool_impl=getattr(config, "pool_impl", "window"))
+        pool_impl=getattr(config, "pool_impl", "window"),
+        stem_impl=getattr(config, "stem_impl", "conv"))
 
 
 @register("SingleTaskShapeNet3D")

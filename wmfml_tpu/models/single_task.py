@@ -32,6 +32,7 @@ class SingleTaskSmall(nn.Module):
     tanh_out: bool = True
     dtype: Optional[jnp.dtype] = None
     pool_impl: str = "window"      # max-pool lowering (nn/encoders.py:max_pool2)
+    stem_impl: str = "conv"        # "s2d" = phase-layout stem (encoders.py)
 
     @nn.compact
     def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
@@ -39,6 +40,7 @@ class SingleTaskSmall(nn.Module):
         del ctx_x, ctx_y, ctx_mask  # context is ignored by design
         x = _flat_apply(LiteratureEncoder(self.dim_w, dtype=self.dtype,
                                           pool_impl=self.pool_impl,
+                                          stem_impl=self.stem_impl,
                                           name="encoder_w0"), qry_x)
         r = EncoderFC(self.n_hidden_units_r, self.dim_r, dtype=self.dtype,
                       name="encoder_r")(x)

@@ -200,6 +200,90 @@ class Conv3x3S2(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Declares an nn.Conv-compatible (kernel, bias) pair without running
+    the conv — lets alternative stem lowerings keep the exact state-dict
+    keys/shapes of the stock conv stack."""
+
+    kernel_shape: tuple
+    kernel_init: object
+    bias_init: object
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.kernel_shape)
+        b = self.param("bias", self.bias_init, (self.kernel_shape[-1],))
+        return k, b
+
+
+def _s2d(x):
+    """Space-to-depth factor 2, channel order c' = (dh*2 + dw)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _s2d_stem(x, w0, b0, w1, b1, dtype):
+    """conv0(s2) + relu + conv1(s2) computed in phase (space-to-depth)
+    layout — numerically identical to the stock stack (fp-roundoff),
+    kernels rearranged from the SAME stored [3,3,Ci,Co] params.
+
+    Why: in phase layout conv1 is a stride-1 2x2 conv over 4*C0 channels
+    (contraction 2*2*4*32 = 512 vs 288, no strided windows), and — the real
+    prize — its input-gradient transposes to another PLAIN stride-1 conv:
+    no input dilation, no pixel-shuffle, and the gradient lands directly in
+    the layout conv0's weight-grad consumes. The stock lowering's dilated
+    backward was the hottest fusion of the headline step (239 us at 55% BW,
+    results/profiles/roofline_exact.json).
+
+    Output phase (a,b) of conv0 maps tap kh to window index th = a + (kh>0)
+    and input phase dh = (kh+1) mod 2 (p = 2i + a, x row 2p + kh - 1 =
+    2m + dh solved for m); conv1's tap kh maps to (di, a) in
+    {(0,1)->0, (1,0)->1, (1,1)->2} with (0,0) empty. Validated equal to the
+    stock stack in tests/test_s2d_stem.py.
+    """
+    from jax import lax
+
+    ci = x.shape[-1]
+    c0 = w0.shape[-1]
+    if dtype is not None:
+        x, w0, w1 = x.astype(dtype), w0.astype(dtype), w1.astype(dtype)
+        b0, b1 = b0.astype(dtype), b1.astype(dtype)
+
+    z = _s2d(x)                                       # [B, H/2, W/2, 4*Ci]
+    k0 = jnp.zeros((3, 3, 4 * ci, 4 * c0), w0.dtype)
+    for a in (0, 1):
+        for kh in (0, 1, 2):
+            th, dh = a + (1 if kh else 0), (kh + 1) % 2
+            for b_ in (0, 1):
+                for kw in (0, 1, 2):
+                    tw, dw = b_ + (1 if kw else 0), (kw + 1) % 2
+                    k0 = k0.at[th, tw,
+                               (dh * 2 + dw) * ci:(dh * 2 + dw + 1) * ci,
+                               (a * 2 + b_) * c0:(a * 2 + b_ + 1) * c0
+                               ].add(w0[kh, kw])
+    dn = lax.conv_dimension_numbers(z.shape, k0.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    a0 = lax.conv_general_dilated(z, k0, (2, 2), [(1, 0), (1, 0)],
+                                  dimension_numbers=dn)
+    a0 = nn.relu(a0 + jnp.tile(b0, 4))                # [B, H/4, W/4, 4*C0]
+
+    c1 = w1.shape[-1]
+    k1 = jnp.zeros((2, 2, 4 * c0, c1), w1.dtype)
+    tap = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    for (di, a), kh in tap.items():
+        for (dj, b_), kw in tap.items():
+            k1 = k1.at[di, dj,
+                       (a * 2 + b_) * c0:(a * 2 + b_ + 1) * c0, :
+                       ].add(w1[kh, kw])
+    dn = lax.conv_dimension_numbers(a0.shape, k1.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    a1 = lax.conv_general_dilated(a0, k1, (1, 1), [(1, 0), (1, 0)],
+                                  dimension_numbers=dn)
+    return nn.relu(a1 + b1)                           # [B, H/4, W/4, C1]
+
+
 class LiteratureEncoder(nn.Module):
     """Conv stack -> dim_w feature per image."""
 
@@ -209,10 +293,28 @@ class LiteratureEncoder(nn.Module):
     conv_bwd: str = "xla"             # conv1 input-grad lowering (see
     # conv3x3_s2_phase); conv0's input-grad is dead (images are leaves) and
     # conv2's is tiny (16x16), so only conv1 gets the choice
+    stem_impl: str = "conv"           # "s2d" = phase-layout conv0+conv1
+    # (_s2d_stem); same params, different lowering
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
         c_in = x.shape[-1]
+        if (self.stem_impl == "s2d" and x.shape[1] % 4 == 0
+                and x.shape[2] % 4 == 0):
+            w0, b0 = _ConvParams((3, 3, c_in, 32), torch_kernel_init,
+                                 torch_bias_init(c_in * 9), name="conv0")()
+            w1, b1 = _ConvParams((3, 3, 32, 48), torch_kernel_init,
+                                 torch_bias_init(32 * 9), name="conv1")()
+            x = _s2d_stem(x, w0, b0, w1, b1, self.dtype)
+            x = max_pool2(x, self.pool_impl)
+            x = nn.Conv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(48 * 9), dtype=self.dtype,
+                        name="conv2")(x)
+            x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+            x = Dense(self.dim_w, dtype=self.dtype, name="fc")(x)
+            return x
         x = nn.Conv(32, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                     kernel_init=torch_kernel_init,
                     bias_init=torch_bias_init(c_in * 9), dtype=self.dtype,
