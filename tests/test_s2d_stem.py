@@ -61,6 +61,32 @@ def test_s2d_stem_second_order_matches():
                                    rtol=5e-3, atol=1e-4)
 
 
+def test_stem_impl_plumbs_through_registry():
+    # guard the advisor-flagged failure mode (round-4 pool_impl): a config
+    # knob that only reaches ONE model family silently no-ops elsewhere
+    from wmfml_tpu.configs import Config
+    from wmfml_tpu.models.registry import build_model
+
+    base = dict(checkpoint="", loss_type="mse", tasks_per_batch=2,
+                max_ctx_num=5, noise_scale=0.0, lr=1e-4, weight_decay=False,
+                optimizer="Adam", bg_gen_freq=100, val_iters=1, val_freq=10,
+                iterations=5, device="cpu", seed=0, aug_list=[], query_num=4,
+                dim_w=64, n_hidden_units_r=[100, 100], dim_r=64, dim_z=64,
+                stem_impl="s2d")
+    cases = [
+        ("ANPShapeNet1D", dict(agg_mode="attention")),
+        ("MAMLShapeNet1D", dict(agg_mode=None, num_filters=32,
+                                num_updates=1, test_num_updates=1,
+                                first_order=True, update_lr=0.01, beta=0.0)),
+        ("SingleTaskShapeNet1D", dict(agg_mode="max")),
+    ]
+    for method, extra in cases:
+        cfg = Config.from_dict(dict(base, method=method, task="shapenet_1d",
+                                    **extra), make_dirs=False)
+        model = build_model(cfg)
+        assert getattr(model, "stem_impl", None) == "s2d", method
+
+
 def test_s2d_stem_odd_dims_fall_back():
     # H % 4 != 0: the s2d gate must fall back to the stock stack
     rng = np.random.RandomState(1)
