@@ -203,6 +203,14 @@ class Config:
         # LiteratureEncoder paths (SmallCNP/MAML/SingleTask families);
         # falls back to stock when H or W % 4 != 0.
         self.stem_impl = get("stem_impl", "s2d")
+        # ResNet-trunk analog of stem_impl: "s2d" computes trunk conv1 +
+        # layer1 in phase layout (nn/encoders.py:_s2d_trunk_stem) — identical
+        # math/params (golden tested, tests/test_s2d_trunk.py), no
+        # input-dilated backward at the trunk's largest resolution. Applies
+        # to the non-BBB ResNetTrunk paths (LargeCNP/NPDecoder/SingleTask
+        # families). Default stays "conv" until the TPU A/B lands
+        # (measure-first discipline; see RESULTS.md round 5).
+        self.trunk_stem = get("trunk_stem", "conv")
         self.donate = get("donate", True)
         # training steps fused per host dispatch (lax.scan over staged
         # batches); amortizes dispatch latency, huge at small batch sizes

@@ -180,11 +180,13 @@ class NPDecoder(nn.Module):
     y_dim: int
     pr_unc: bool = False
     dtype: Optional[jnp.dtype] = None
+    trunk_stem: str = "conv"       # "s2d" = phase-layout conv1+layer1
 
     @nn.compact
     def __call__(self, qry_x, sample_features):
         feats = _flat_apply(
-            ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype, name="trunk"),
+            ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
+                        trunk_stem=self.trunk_stem, name="trunk"),
             qry_x)                                            # [T, Q, F]
         x_mu = jnp.concatenate([feats, sample_features], axis=-1)
         mu = MLP(hidden=(256, 256), out=self.y_dim, dtype=self.dtype,
@@ -216,6 +218,8 @@ class LargeCNP(nn.Module):
     bbb_trunk: bool = False
     fcl: bool = False
     dtype: Optional[jnp.dtype] = None
+    trunk_stem: str = "conv"       # "s2d" = phase-layout conv1+layer1
+    # (nn/encoders.py:_s2d_trunk_stem); BBB trunk path unaffected
 
     @nn.compact
     def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
@@ -239,6 +243,7 @@ class LargeCNP(nn.Module):
                 # samples for ctx vs qry (networks/ANPMRShapeNet3D.py:199-200)
         else:
             trunk_mod = ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
+                                    trunk_stem=self.trunk_stem,
                                     name="img_encoder")
             if need_qry_feats:
                 # ONE conv mega-batch for ctx+qry (identical math): halves
@@ -307,5 +312,6 @@ class LargeCNP(nn.Module):
                 extras["z_qry_view"] = aggregate(rq, None)
 
         mu, var = NPDecoder(img_agg=self.img_agg, y_dim=self.y_dim,
-                            dtype=self.dtype, name="decoder")(qry_x, sample)
+                            dtype=self.dtype, trunk_stem=self.trunk_stem,
+                            name="decoder")(qry_x, sample)
         return ModelOutput(mu=mu, var=var, kl=kl, extras=extras)

@@ -87,7 +87,8 @@ def _large(config, agg_mode, label_embed=None):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode=agg_mode, y_dim=config.output_dim,
         label_embed_dim=label_embed,
-        dtype=_dtype(config))
+        dtype=_dtype(config),
+        trunk_stem=getattr(config, "trunk_stem", "conv"))
 
 
 @register("CondNeuralProcess")
@@ -164,14 +165,16 @@ def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode=config.agg_mode,
         y_dim=config.output_dim, label_embed_dim=config.dim_w, fcl=True,
-        dtype=_dtype(config))
+        dtype=_dtype(config),
+        trunk_stem=getattr(config, "trunk_stem", "conv"))
 
 
 @register("FCLANP")
 def _(config):
     return LargeCNP(
         img_agg=config.img_agg, agg_mode="attention", y_dim=config.output_dim,
-        fcl=True, dtype=_dtype(config))
+        fcl=True, dtype=_dtype(config),
+        trunk_stem=getattr(config, "trunk_stem", "conv"))
 
 
 # -- MAML family ---------------------------------------------------------------
@@ -245,10 +248,12 @@ def _(config):
 @register("SingleTaskShapeNet3D")
 def _(config):
     return SingleTaskLarge(img_agg=config.img_agg, y_dim=config.output_dim,
+                           trunk_stem=getattr(config, "trunk_stem", "conv"),
                            dtype=_dtype(config))
 
 
 @register("SingleTaskDistractor")
 def _(config):
     return SingleTaskLarge(img_agg=config.img_agg, y_dim=config.output_dim,
+                           trunk_stem=getattr(config, "trunk_stem", "conv"),
                            dtype=_dtype(config))

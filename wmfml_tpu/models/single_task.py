@@ -59,17 +59,20 @@ class SingleTaskLarge(nn.Module):
     y_dim: int = 4
     h_dim: int = 256
     dtype: Optional[jnp.dtype] = None
+    trunk_stem: str = "conv"       # "s2d" = phase-layout conv1+layer1
 
     @nn.compact
     def __call__(self, ctx_x, ctx_y, qry_x, ctx_mask=None, train: bool = False,
                  qry_y=None):
         del ctx_x, ctx_y, ctx_mask
         x = _flat_apply(ResNetTrunk(img_agg=self.img_agg, dtype=self.dtype,
+                                    trunk_stem=self.trunk_stem,
                                     name="img_encoder"), qry_x)
         h = self.h_dim
         feats = MLP(hidden=(h, h), out=h, final_activation="relu",
                     dtype=self.dtype, name="task_encoder")(x)
         sample = Dense(h, dtype=self.dtype, name="mu")(feats)
         mu, var = NPDecoder(img_agg=self.img_agg, y_dim=self.y_dim,
-                            dtype=self.dtype, name="decoder")(qry_x, sample)
+                            dtype=self.dtype, trunk_stem=self.trunk_stem,
+                            name="decoder")(qry_x, sample)
         return ModelOutput(mu=mu, var=var, kl=0.0, extras={})

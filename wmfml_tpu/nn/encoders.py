@@ -208,10 +208,13 @@ class _ConvParams(nn.Module):
     kernel_shape: tuple
     kernel_init: object
     bias_init: object
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", self.kernel_init, self.kernel_shape)
+        if not self.use_bias:
+            return k, None
         b = self.param("bias", self.bias_init, (self.kernel_shape[-1],))
         return k, b
 
@@ -282,6 +285,100 @@ def _s2d_stem(x, w0, b0, w1, b1, dtype):
     a1 = lax.conv_general_dilated(a0, k1, (1, 1), [(1, 0), (1, 0)],
                                   dimension_numbers=dn)
     return nn.relu(a1 + b1)                           # [B, H/4, W/4, C1]
+
+
+class _TrunkBlockParams(nn.Module):
+    """Parameter-only twin of BasicBlockNoBN(stride=2) — same param paths
+    (conv1/conv2/downsample kernels, no biases) so the s2d trunk stem keeps
+    the exact state-dict of the stock block."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self):
+        p = self.planes
+        wa, _ = _ConvParams((3, 3, p, p), kaiming_out_normal, None,
+                            use_bias=False, name="conv1")()
+        wb, _ = _ConvParams((3, 3, p, p), kaiming_out_normal, None,
+                            use_bias=False, name="conv2")()
+        ws, _ = _ConvParams((1, 1, p, p), kaiming_out_normal, None,
+                            use_bias=False, name="downsample")()
+        return wa, wb, ws
+
+
+def _s2d_trunk_stem(x, wc, bc, wa, wb, ws, dtype):
+    """ResNetTrunk conv1(5x5 s2) + relu + BasicBlock layer1 (3x3 s2 →
+    relu → 3x3 s1, +1x1-s2 skip) computed in phase (space-to-depth)
+    layout — numerically identical to the stock stack on the SAME stored
+    parameters (see _s2d_stem for the derivation style; golden + gradient
+    tested in tests/test_s2d_trunk.py).
+
+    Mapping for the 5x5 stride-2 conv consuming s2d input and emitting
+    phase-major output: output pixel row p = 2i + a reads input rows
+    r = 4i + 2a + kh − 2; in s2d coords r = 2m + dh gives dh = kh mod 2
+    and tap offset m − 2i = a + (kh − 2 − dh)/2 ∈ [−1, 2] → a 4x4
+    stride-2 conv with padding (1,1). layer1's 3x3 s2 conv consumes the
+    phase layout via the {(0,1), (1,0), (1,1)} 2x2 tap map (as in
+    _s2d_stem), so its input-gradient is a PLAIN stride-1 conv — no input
+    dilation at the trunk's largest (H/2) resolution, the analog of the
+    headline win for the literature stem. The 1x1-s2 skip reads phase
+    block (0,0) = the first C0 channels.
+
+    Why it can win: the trunk runs TWICE per LargeCNP step (ctx+qry
+    encoder megabatch + NPDecoder query trunk), and layer1's dilated
+    input-grad is the largest backward conv in the 3D/Distractor programs
+    (ref workload: networks/models.py:120-192, networks/ResNet.py:121-153).
+    """
+    from jax import lax
+
+    ci = x.shape[-1]
+    c0 = wc.shape[-1]                                   # 64
+    if dtype is not None:
+        x = x.astype(dtype)
+        wc, wa, wb, ws = (t.astype(dtype) for t in (wc, wa, wb, ws))
+        bc = bc.astype(dtype)
+
+    z = _s2d(x)                                         # [B, H/2, W/2, 4Ci]
+    k0 = jnp.zeros((4, 4, 4 * ci, 4 * c0), wc.dtype)
+    for a in (0, 1):
+        for kh in range(5):
+            dh = kh % 2
+            th = a + (kh - 2 - dh) // 2 + 1
+            for b_ in (0, 1):
+                for kw in range(5):
+                    dw = kw % 2
+                    tw = b_ + (kw - 2 - dw) // 2 + 1
+                    k0 = k0.at[th, tw,
+                               (dh * 2 + dw) * ci:(dh * 2 + dw + 1) * ci,
+                               (a * 2 + b_) * c0:(a * 2 + b_ + 1) * c0
+                               ].add(wc[kh, kw])
+    dn = lax.conv_dimension_numbers(z.shape, k0.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    a1 = lax.conv_general_dilated(z, k0, (2, 2), [(1, 1), (1, 1)],
+                                  dimension_numbers=dn)
+    a1 = nn.relu(a1 + jnp.tile(bc, 4))                  # [B, H/4, W/4, 4*C0]
+
+    k1 = jnp.zeros((2, 2, 4 * c0, c0), wa.dtype)
+    tap = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    for (di, a), kh in tap.items():
+        for (dj, b_), kw in tap.items():
+            k1 = k1.at[di, dj,
+                       (a * 2 + b_) * c0:(a * 2 + b_ + 1) * c0, :
+                       ].add(wa[kh, kw])
+    dn = lax.conv_dimension_numbers(a1.shape, k1.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    h = nn.relu(lax.conv_general_dilated(a1, k1, (1, 1), [(1, 0), (1, 0)],
+                                         dimension_numbers=dn))
+    dn = lax.conv_dimension_numbers(h.shape, wb.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(h, wb, (1, 1), [(1, 1), (1, 1)],
+                                   dimension_numbers=dn)
+    skip_in = a1[..., :c0]                              # phase (0,0) block
+    dn = lax.conv_dimension_numbers(skip_in.shape, ws.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    skip = lax.conv_general_dilated(skip_in, ws, (1, 1), [(0, 0), (0, 0)],
+                                    dimension_numbers=dn)
+    return nn.relu(out + skip)                          # [B, H/4, W/4, C0]
 
 
 class LiteratureEncoder(nn.Module):
@@ -464,16 +561,27 @@ class ResNetTrunk(nn.Module):
 
     img_agg: str = "max"
     dtype: Optional[jnp.dtype] = None
+    trunk_stem: str = "conv"          # "s2d" = phase-layout conv1+layer1
+    # (_s2d_trunk_stem); same stored params, different lowering
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
         c_in = x.shape[-1]
-        x = nn.Conv(64, (5, 5), strides=2, padding=[(2, 2), (2, 2)],
-                    kernel_init=torch_kernel_init,
-                    bias_init=torch_bias_init(c_in * 25), dtype=self.dtype,
-                    name="conv1")(x)
-        x = nn.relu(x)
-        for i in range(4):
+        if (self.trunk_stem == "s2d" and x.shape[1] % 4 == 0
+                and x.shape[2] % 4 == 0):
+            wc, bc = _ConvParams((5, 5, c_in, 64), torch_kernel_init,
+                                 torch_bias_init(c_in * 25), name="conv1")()
+            wa, wb, ws = _TrunkBlockParams(planes=64, name="layer1")()
+            x = _s2d_trunk_stem(x, wc, bc, wa, wb, ws, self.dtype)
+            start = 1
+        else:
+            x = nn.Conv(64, (5, 5), strides=2, padding=[(2, 2), (2, 2)],
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(c_in * 25),
+                        dtype=self.dtype, name="conv1")(x)
+            x = nn.relu(x)
+            start = 0
+        for i in range(start, 4):
             x = BasicBlockNoBN(planes=64, stride=2, dtype=self.dtype,
                                name=f"layer{i + 1}")(x)
         if self.img_agg == "mean":
