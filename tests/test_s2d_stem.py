@@ -15,26 +15,32 @@ def _grads(mod, v, x):
 
 
 def test_s2d_stem_matches_stock_values_and_grads():
+    # "s2dp" additionally folds the max pool into the phase layout; its
+    # tie-routing on exact float ties differs from select-and-scatter, but
+    # post-relu zero-ties carry no gradient (relu'(0) = 0) and non-zero
+    # float ties have measure zero — the tolerances below hold for both.
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(4, 32, 32, 1), jnp.float32)
     stock = LiteratureEncoder(dim_w=16, stem_impl="conv")
-    s2d = LiteratureEncoder(dim_w=16, stem_impl="s2d")
     v = stock.init(jax.random.PRNGKey(0), x)
-    # identical param pytrees (names + shapes) => the SAME variables load
-    v2 = s2d.init(jax.random.PRNGKey(0), x)
-    assert (jax.tree_util.tree_structure(v) ==
-            jax.tree_util.tree_structure(v2))
-
     y_stock = stock.apply(v, x)
-    y_s2d = s2d.apply(v, x)
-    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_stock),
-                               rtol=2e-5, atol=2e-5)
-
     ga = jax.tree_util.tree_leaves(_grads(stock, v, x))
-    gb = jax.tree_util.tree_leaves(_grads(s2d, v, x))
-    for a, b in zip(ga, gb):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-4, atol=2e-4)
+
+    for impl in ("s2d", "s2dp"):
+        s2d = LiteratureEncoder(dim_w=16, stem_impl=impl)
+        # identical param pytrees (names + shapes) => the SAME variables load
+        v2 = s2d.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v) ==
+                jax.tree_util.tree_structure(v2)), impl
+
+        y_s2d = s2d.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_stock),
+                                   rtol=2e-5, atol=2e-5, err_msg=impl)
+
+        gb = jax.tree_util.tree_leaves(_grads(s2d, v, x))
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4, err_msg=impl)
 
 
 def test_s2d_stem_second_order_matches():
@@ -43,7 +49,6 @@ def test_s2d_stem_second_order_matches():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(2, 16, 16, 1), jnp.float32)
     stock = LiteratureEncoder(dim_w=8, stem_impl="conv")
-    s2d = LiteratureEncoder(dim_w=8, stem_impl="s2d")
     v = stock.init(jax.random.PRNGKey(0), x)
 
     def second_order(mod):
@@ -55,10 +60,12 @@ def test_s2d_stem_second_order_matches():
         return jax.grad(inner)(v["params"])
 
     ga = jax.tree_util.tree_leaves(second_order(stock))
-    gb = jax.tree_util.tree_leaves(second_order(s2d))
-    for a, b in zip(ga, gb):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=5e-3, atol=1e-4)
+    for impl in ("s2d", "s2dp"):
+        s2d = LiteratureEncoder(dim_w=8, stem_impl=impl)
+        gb = jax.tree_util.tree_leaves(second_order(s2d))
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-4, err_msg=impl)
 
 
 def test_stem_impl_plumbs_through_registry():

@@ -198,10 +198,13 @@ class Config:
         # phase (space-to-depth) layout — identical math/params (golden +
         # second-order tested, tests/test_s2d_stem.py), no input-dilated
         # backward. Measured default-on: exact-aug headline 1.92->1.79
-        # ms/step, MAML 2nd-order T20 123.8->68.4 ms/step (+81%). "conv"
+        # ms/step, MAML 2nd-order T20 123.8->68.4 ms/step (+81%). "s2dp"
+        # additionally folds the following 2x2/s2 max pool into the layout
+        # as an elementwise 4-way maximum (no select-and-scatter backward;
+        # tie semantics = pool_impl 'slice'; pending TPU A/B). "conv"
         # restores the stock nn.Conv stack. Applies to the non-BBB
         # LiteratureEncoder paths (SmallCNP/MAML/SingleTask families);
-        # falls back to stock when H or W % 4 != 0.
+        # falls back to stock when H or W % 4 != 0 (s2dp pool: % 8).
         self.stem_impl = get("stem_impl", "s2d")
         # ResNet-trunk analog of stem_impl: "s2d" computes trunk conv1 +
         # layer1 in phase layout (nn/encoders.py:_s2d_trunk_stem) — identical

@@ -227,10 +227,23 @@ def _s2d(x):
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
-def _s2d_stem(x, w0, b0, w1, b1, dtype):
+def _s2d_stem(x, w0, b0, w1, b1, dtype, phase_pool=False):
     """conv0(s2) + relu + conv1(s2) computed in phase (space-to-depth)
     layout — numerically identical to the stock stack (fp-roundoff),
     kernels rearranged from the SAME stored [3,3,Ci,Co] params.
+
+    ``phase_pool=True`` additionally folds the 2x2/stride-2 max pool that
+    follows the stem into the layout: conv1 emits the PHASE layout of the
+    H/8 grid (a 3x3 stride-2 conv with 4*C1 output channel blocks), so the
+    pool's non-overlapping 2x2 windows are exactly the 4 phase blocks and
+    the pool becomes an elementwise 4-way maximum — no reduce-window
+    forward, no select-and-scatter backward (115 us at 63% BW in the
+    round-5 roofline), and the pool gradient lands directly in the phase
+    layout conv1's backward consumes. Tie-breaking on exact float ties
+    differs from select-and-scatter (maximum-chain select, as in
+    pool_impl='slice'), but post-relu ties at 0 carry no gradient anyway
+    (relu'(0) = 0 kills both routings) and non-zero float ties have
+    measure zero — gradient equality is covered by tests/test_s2d_stem.py.
 
     Why: in phase layout conv1 is a stride-1 2x2 conv over 4*C0 channels
     (contraction 2*2*4*32 = 512 vs 288, no strided windows), and — the real
@@ -273,6 +286,31 @@ def _s2d_stem(x, w0, b0, w1, b1, dtype):
     a0 = nn.relu(a0 + jnp.tile(b0, 4))                # [B, H/4, W/4, 4*C0]
 
     c1 = w1.shape[-1]
+    if phase_pool:
+        # conv1 emits the phase layout of the H/8 grid: output pixel
+        # p = 2o + a reads m = p + off (off = di - 1), tap t = a + off + 1
+        kp = jnp.zeros((3, 3, 4 * c0, 4 * c1), w1.dtype)
+        tap = {(-1, 1): 0, (0, 0): 1, (0, 1): 2}      # (off, dh) -> kh
+        for a in (0, 1):
+            for (oh, dh), kh in tap.items():
+                th = a + oh + 1
+                for b_ in (0, 1):
+                    for (ow, dw), kw in tap.items():
+                        tw = b_ + ow + 1
+                        kp = kp.at[th, tw,
+                                   (dh * 2 + dw) * c0:(dh * 2 + dw + 1) * c0,
+                                   (a * 2 + b_) * c1:(a * 2 + b_ + 1) * c1
+                                   ].add(w1[kh, kw])
+        dn = lax.conv_dimension_numbers(a0.shape, kp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        a1 = lax.conv_general_dilated(a0, kp, (2, 2), [(1, 0), (1, 0)],
+                                      dimension_numbers=dn)
+        a1 = nn.relu(a1 + jnp.tile(b1, 4))            # [B, H/8, W/8, 4*C1]
+        # 2x2/s2 max pool == elementwise max over the 4 phase blocks
+        return jnp.maximum(
+            jnp.maximum(a1[..., :c1], a1[..., c1:2 * c1]),
+            jnp.maximum(a1[..., 2 * c1:3 * c1], a1[..., 3 * c1:]))
+
     k1 = jnp.zeros((2, 2, 4 * c0, c1), w1.dtype)
     tap = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
     for (di, a), kh in tap.items():
@@ -391,19 +429,24 @@ class LiteratureEncoder(nn.Module):
     # conv3x3_s2_phase); conv0's input-grad is dead (images are leaves) and
     # conv2's is tiny (16x16), so only conv1 gets the choice
     stem_impl: str = "conv"           # "s2d" = phase-layout conv0+conv1
-    # (_s2d_stem); same params, different lowering
+    # (_s2d_stem); "s2dp" also folds the max pool into the layout as an
+    # elementwise 4-way maximum; same params, different lowering
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C]
         c_in = x.shape[-1]
-        if (self.stem_impl == "s2d" and x.shape[1] % 4 == 0
+        if (self.stem_impl in ("s2d", "s2dp") and x.shape[1] % 4 == 0
                 and x.shape[2] % 4 == 0):
             w0, b0 = _ConvParams((3, 3, c_in, 32), torch_kernel_init,
                                  torch_bias_init(c_in * 9), name="conv0")()
             w1, b1 = _ConvParams((3, 3, 32, 48), torch_kernel_init,
                                  torch_bias_init(32 * 9), name="conv1")()
-            x = _s2d_stem(x, w0, b0, w1, b1, self.dtype)
-            x = max_pool2(x, self.pool_impl)
+            phase_pool = (self.stem_impl == "s2dp" and x.shape[1] % 8 == 0
+                          and x.shape[2] % 8 == 0)
+            x = _s2d_stem(x, w0, b0, w1, b1, self.dtype,
+                          phase_pool=phase_pool)
+            if not phase_pool:
+                x = max_pool2(x, self.pool_impl)
             x = nn.Conv(64, (3, 3), strides=2, padding=[(1, 1), (1, 1)],
                         kernel_init=torch_kernel_init,
                         bias_init=torch_bias_init(48 * 9), dtype=self.dtype,
